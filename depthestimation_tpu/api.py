@@ -1,0 +1,264 @@
+"""User-facing estimator facades.
+
+API-capability parity with the reference's three classes
+(depthlib/StereoDepthEstimator.py, StereoDepthEstimatorVideo.py,
+MonocularDepthEstimator.py) on top of the functional TPU pipeline.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from .config import SGMConfig
+from .io.input import load_stereo_pair, stereo_stream
+from .io.threaded import ThreadedStereoCapture
+from .pipeline import StereoPipeline
+from . import viz
+
+__all__ = [
+    "StereoDepthEstimator",
+    "StereoDepthEstimatorVideo",
+    "MonocularDepthEstimator",
+]
+
+
+class StereoDepthEstimator:
+    """Single stereo pair -> (disparity, depth).
+
+    Parity: depthlib/StereoDepthEstimator.py:10-123 — validates
+    downscale_factor in (0, 1], loads + downscales the pair at init,
+    delegates to the pipeline core, caches disparity_map/depth_map.
+    """
+
+    def __init__(self, left_source=None, right_source=None, downscale_factor=1.0):
+        if downscale_factor <= 0 or downscale_factor > 1.0:
+            raise ValueError("downscale_factor must be between 0 and 1.")
+        self.downscale_factor = downscale_factor
+        self.core = StereoPipeline(downscale_factor=downscale_factor)
+
+        self.left_source = None
+        self.right_source = None
+        if left_source is not None and right_source is not None:
+            self.left_source, self.right_source = load_stereo_pair(
+                left_source, right_source, downscale_factor=downscale_factor
+            )
+        self.disparity_map = None
+        self.depth_map = None
+
+    def configure_sgbm(self, **kwargs):
+        """Configure matcher parameters (configure_sgbm parity,
+        StereoDepthEstimator.py:49-78; scaling semantics in
+        SGMConfig.updated)."""
+        self.core.configure(**kwargs)
+
+    def get_sgbm_params(self) -> Dict:
+        return self.core.get_params()
+
+    def estimate_depth(self) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        if self.left_source is None or self.right_source is None:
+            raise ValueError(
+                "Left and right sources must be provided for depth estimation."
+            )
+        disparity_px, depth_m = self.core.estimate_depth(
+            self.left_source, self.right_source
+        )
+        self.disparity_map = disparity_px
+        self.depth_map = depth_m
+        return disparity_px, depth_m
+
+    def visualize_results(self):
+        if self.disparity_map is None:
+            raise ValueError(
+                "Disparity map not computed. Call estimate_depth() first."
+            )
+        viz.visualize_disparity(self.disparity_map, title="Disparity Map (Raw)",
+                                cmap="jet")
+        if self.depth_map is None:
+            raise ValueError(
+                "Depth map not computed. Call estimate_depth() with calibration "
+                "data first."
+            )
+        viz.visualize_depth(self.depth_map, title="Depth Map (Raw)", cmap="turbo_r")
+
+
+class StereoDepthEstimatorVideo:
+    """Streaming generator over synchronized stereo sources.
+
+    Parity: depthlib/StereoDepthEstimatorVideo.py:12-148 — threaded or
+    sequential capture, live visualization, FPS throttle, fast_mode,
+    drop_frames; yields a depth map per frame.
+    """
+
+    def __init__(
+        self,
+        left_source=None,
+        right_source=None,
+        downscale_factor=1.0,
+        visualize_live=False,
+        saving_path=None,
+        fast_mode=False,
+        use_threading=True,
+        target_fps=30,
+        drop_frames=False,
+        visualize_gray=False,
+    ) -> None:
+        self.left_source = left_source
+        self.right_source = right_source
+        self.downscale_factor = downscale_factor
+        self.visualize_live = visualize_live
+        self.saving_path = saving_path
+        self.fast_mode = fast_mode
+        self.use_threading = use_threading
+        self.target_fps = target_fps
+        self._frame_interval = 1.0 / target_fps if target_fps > 0 else 0
+        self.drop_frames = drop_frames
+        self.visualize_gray = visualize_gray
+        self.core = StereoPipeline(
+            downscale_factor=downscale_factor, fast_mode=fast_mode
+        )
+
+    def configure_sgbm(self, **kwargs):
+        self.core.configure(**kwargs)
+
+    def get_sgbm_params(self) -> Dict:
+        return self.core.get_params()
+
+    def _emit(self, depth_m, measured_fps):
+        if self.visualize_live:
+            if self.visualize_gray:
+                viz.visualize_depth_live_gray(depth_m, measured_fps)
+            else:
+                viz.visualize_depth_live(depth_m, measured_fps)
+
+    def estimate_depth(self):
+        """Yield a depth map (meters) per synchronized frame pair."""
+        if self.left_source is None or self.right_source is None:
+            raise ValueError(
+                "Both left_source and right_source must be provided for video "
+                "depth estimation."
+            )
+
+        if self.use_threading:
+            capture = ThreadedStereoCapture(
+                self.left_source,
+                self.right_source,
+                downscale_factor=self.downscale_factor,
+                drop_frames=self.drop_frames,
+            )
+            capture.start()
+            try:
+                frame_start = time.time()
+                measured_fps = float(self.target_fps)
+                while True:
+                    pair = capture.read()
+                    if pair is None:
+                        break
+                    left, right = pair
+                    _, depth_m = self.core.estimate_depth(left, right)
+                    yield depth_m
+                    self._emit(depth_m, measured_fps)
+                    if self._frame_interval > 0:
+                        elapsed = time.time() - frame_start
+                        sleep_t = self._frame_interval - elapsed
+                        if sleep_t > 0:
+                            time.sleep(sleep_t)
+                    now = time.time()
+                    dt = now - frame_start
+                    measured_fps = 1.0 / dt if dt > 0 else measured_fps
+                    frame_start = now
+            finally:
+                capture.stop()
+        else:
+            frame_start = time.time()
+            measured_fps = float(self.target_fps)
+            for left, right in stereo_stream(
+                self.left_source, self.right_source,
+                downscale_factor=self.downscale_factor,
+            ):
+                _, depth_m = self.core.estimate_depth(left, right)
+                yield depth_m
+                self._emit(depth_m, measured_fps)
+                if self._frame_interval > 0:
+                    elapsed = time.time() - frame_start
+                    sleep_t = self._frame_interval - elapsed
+                    if sleep_t > 0:
+                        time.sleep(sleep_t)
+                now = time.time()
+                dt = now - frame_start
+                measured_fps = 1.0 / dt if dt > 0 else measured_fps
+                frame_start = now
+
+
+class MonocularDepthEstimator:
+    """Monocular depth via the JAX ViT+DPT net (Depth Anything V2
+    capability).
+
+    Parity: depthlib/MonocularDepthEstimator.py:8-100 — model load at
+    init, warmup forward on a 224x224 dummy, per-image inference with the
+    output inverted (max - depth) for display
+    (MonocularDepthEstimator.py:73). 'device' accepts 'tpu'/'cpu' (the
+    reference's 'cuda' maps to the accelerator backend).
+    """
+
+    def __init__(self, model_path, device: str = "tpu", downscale_factor: float = 1.0):
+        if not model_path:
+            raise ValueError("Model path must be provided.")
+        import jax
+
+        backend = jax.default_backend()
+        if device in ("cuda", "tpu") and backend not in ("tpu", "gpu"):
+            raise EnvironmentError(
+                f"Accelerator not available (backend={backend}). "
+                "Use device='cpu'."
+            )
+        self.model_path = model_path
+        self.device = device
+        self.downscale_factor = downscale_factor
+        self.model = None
+        self.depth_map = None
+        self.load_model()
+
+    def load_model(self):
+        from .models.mono import MonoDepthModel
+
+        print(f"Loading model from {self.model_path}")
+        try:
+            self.model = MonoDepthModel.load(self.model_path)
+            self.warmup()
+        except Exception as e:
+            print(f"Error loading model: {e}")
+            raise
+
+    def warmup(self):
+        if self.model is None:
+            raise RuntimeError("Model is not loaded properly.")
+        print("Warming up the model")
+        dummy = np.full((224, 224, 3), 255, dtype=np.uint8)
+        self.model.predict(dummy)
+
+    def estimate_depth(self, image_path):
+        if self.model is None:
+            raise RuntimeError("Model is not loaded properly.")
+        print("Estimating depth for the provided image")
+        from .io.input import load_image
+
+        image = load_image(image_path)
+        if self.downscale_factor != 1.0:
+            from .io.input import _area_downscale_np
+
+            image = _area_downscale_np(image, self.downscale_factor)
+        depth = np.asarray(self.model.predict(image))
+        depth = np.max(depth) - depth  # invert for display (ref :73)
+        self.depth_map = depth
+        return depth
+
+    def visualize_depth(self):
+        if self.depth_map is None:
+            raise RuntimeError(
+                "Depth map is not available. Please run estimate_depth first."
+            )
+        print("Visualizing depth map")
+        viz.visualize_depth(self.depth_map, show_meter=False)

@@ -1,0 +1,261 @@
+"""Disparity post-processing filters (pure JAX / XLA).
+
+TPU-native replacements for the reference's postprocess.py stages:
+
+- median3x3:   cv2.medianBlur(..., 3) (stereo_core.py:173, postprocess.py:169)
+  via a 9-element partial sorting network on shifted planes.
+- box_mean:    cv2.boxFilter k x k mean (postprocess.py:59-63).
+- detect_outliers: |d - mu| > k*sigma on valid (>0) pixels
+  (postprocess.py:37-70).
+- filter_speckles: cv2.filterSpeckles connected-component speckle removal
+  (postprocess.py:6-35) re-designed as iterative min-label propagation +
+  pointer jumping (union-find is inherently serial; label propagation is a
+  data-parallel fixed-point that XLA vectorizes), followed by a scatter-add
+  histogram of component sizes.
+- fill_holes:  cv2.inpaint INPAINT_TELEA / distance-transform 'nearest'
+  fill (postprocess.py:72-118) replaced by iterated masked nearest-valid
+  dilation and masked Jacobi diffusion (equivalence by bad-pixel metric,
+  not bitwise — see SURVEY.md section 7).
+- postprocess_disparity: the 4-step driver in reference order
+  (postprocess.py:143-169).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "median3x3",
+    "box_mean",
+    "detect_outliers",
+    "filter_speckles",
+    "fill_holes",
+    "postprocess_disparity",
+]
+
+
+def _shifted_planes_3x3(x: jax.Array):
+    p = jnp.pad(x, 1, mode="edge")
+    h, w = x.shape
+    return [p[dy : dy + h, dx : dx + w] for dy in range(3) for dx in range(3)]
+
+
+def median3x3(x: jax.Array) -> jax.Array:
+    """3x3 median via min/max exchange network (9 taps, border-replicated,
+    matching cv2.medianBlur BORDER_REPLICATE)."""
+    v = _shifted_planes_3x3(x.astype(jnp.float32))
+
+    def cas(i, j):
+        lo = jnp.minimum(v[i], v[j])
+        hi = jnp.maximum(v[i], v[j])
+        v[i], v[j] = lo, hi
+
+    # Optimal 9-element median network (19 exchanges, Paeth).
+    for i, j in [
+        (1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2), (4, 5),
+        (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4), (2, 5), (4, 7),
+        (4, 2), (6, 4), (4, 2),
+    ]:
+        cas(i, j)
+    return v[4]
+
+
+def box_mean(x: jax.Array, k: int) -> jax.Array:
+    """k x k box mean with reflected borders (cv2.boxFilter default
+    BORDER_REFLECT_101, normalize=True)."""
+    r = k // 2
+    p = jnp.pad(x.astype(jnp.float32), r, mode="reflect")
+    s = jax.lax.reduce_window(
+        p, jnp.float32(0), jax.lax.add,
+        window_dimensions=(k, k), window_strides=(1, 1), padding="VALID",
+    )
+    return s / (k * k)
+
+
+def detect_outliers(disparity: jax.Array, threshold: float = 3.0, kernel_size: int = 5):
+    """Local-statistics outlier mask (True = outlier), postprocess.py:37-70."""
+    d = disparity.astype(jnp.float32)
+    valid = d > 0
+    mean = box_mean(d, kernel_size)
+    mean_sq = box_mean(d * d, kernel_size)
+    std = jnp.sqrt(jnp.maximum(mean_sq - mean * mean, 0.0))
+    return (jnp.abs(d - mean) > threshold * std) & valid
+
+
+def _neighbor_min_labels(labels: jax.Array, same: jax.Array, big: float):
+    """One 4-connected min-label propagation step.
+
+    `same[k]` gives per-pixel connectivity to neighbor k in N,S,W,E order.
+    """
+    h, w = labels.shape
+    pad = functools.partial(jnp.pad, constant_values=big)
+    north = pad(labels, ((1, 0), (0, 0)))[:-1, :]
+    south = pad(labels, ((0, 1), (0, 0)))[1:, :]
+    west = pad(labels, ((0, 0), (1, 0)))[:, :-1]
+    east = pad(labels, ((0, 0), (0, 1)))[:, 1:]
+    out = labels
+    for nb, s in zip((north, south, west, east), same):
+        out = jnp.minimum(out, jnp.where(s, nb, big))
+    return out
+
+
+def filter_speckles(
+    disparity: jax.Array,
+    new_val: float = 0.0,
+    max_speckle_size: int = 100,
+    max_diff: float = 1.0,
+    num_iters: int | None = None,
+) -> jax.Array:
+    """Remove small connected components from the disparity map.
+
+    Semantics of cv2.filterSpeckles (postprocess.py:30): 4-connected
+    components where neighboring disparities differ by <= max_diff; every
+    component with <= max_speckle_size pixels is overwritten with new_val.
+    The reference round-trips through x16 int16 fixed point
+    (postprocess.py:27-33); inputs here are already on the 1/16 grid so the
+    comparison is exact.
+
+    Implementation: each valid pixel starts with its linear index as label;
+    min-label flood fill alternates local 4-neighbor propagation with
+    pointer-jumping (labels <- labels[labels], doubling effective reach),
+    then component sizes come from a scatter-add histogram. num_iters
+    defaults to enough rounds for components of diameter ~2*max_speckle_size.
+    """
+    d = disparity.astype(jnp.float32)
+    h, w = d.shape
+    n = h * w
+    big = jnp.float32(n)
+
+    valid = d != new_val  # cv2 skips pixels already equal to newVal
+
+    # Connectivity: |d(p) - d(q)| <= max_diff and both pixels valid.
+    def nb(arr, dy, dx, fill):
+        return jnp.pad(arr, 1, constant_values=fill)[
+            1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w
+        ]
+
+    same = []
+    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        nd = nb(d, dy, dx, jnp.inf)
+        nv = nb(valid.astype(jnp.float32), dy, dx, 0.0) > 0.5
+        same.append(valid & nv & (jnp.abs(d - nd) <= max_diff))
+
+    labels0 = jnp.where(
+        valid, jnp.arange(n, dtype=jnp.float32).reshape(h, w), big
+    )
+
+    if num_iters is None:
+        # Local propagation spreads labels ~local_steps per round; pointer
+        # jumping squares reach. ~12 rounds covers any component whose size
+        # can be <= max_speckle_size plus generous margin.
+        num_iters = 12
+    local_steps = 4
+
+    def round_body(_, labels):
+        for _ in range(local_steps):
+            labels = _neighbor_min_labels(labels, same, big)
+        # Pointer jumping: labels <- labels[labels] (gather through flat view).
+        flat = labels.reshape(-1)
+        jumped = flat[jnp.clip(flat, 0, n - 1).astype(jnp.int32)]
+        labels = jnp.minimum(flat, jumped).reshape(h, w)
+        return labels
+
+    labels = jax.lax.fori_loop(0, num_iters, round_body, labels0)
+
+    # Component size histogram via scatter-add; invalid pixels all map to
+    # bin n (dropped).
+    idx = jnp.where(valid, labels, big).astype(jnp.int32).reshape(-1)
+    counts = jnp.zeros(n + 1, dtype=jnp.int32).at[jnp.clip(idx, 0, n)].add(1)
+    comp_size = counts[jnp.clip(labels.astype(jnp.int32), 0, n)]
+
+    speckle = valid & (comp_size <= max_speckle_size)
+    return jnp.where(speckle, jnp.float32(new_val), d)
+
+
+def _masked_nearest_fill(x: jax.Array, hole: jax.Array, iters: int) -> jax.Array:
+    """Iteratively pull values from the nearest valid pixels into holes
+    using a 3x3 max-magnitude-valid propagation (reference 'nearest' fill:
+    distance transform + repeated dilate, postprocess.py:106-116)."""
+    filled = jnp.where(hole, 0.0, x)
+    known = ~hole
+
+    def body(_, state):
+        f, k = state
+        planes_f = _shifted_planes_3x3(f)
+        planes_k = _shifted_planes_3x3(k.astype(jnp.float32))
+        acc = jnp.zeros_like(f)
+        cnt = jnp.zeros_like(f)
+        for pf, pk in zip(planes_f, planes_k):
+            acc = acc + pf * pk
+            cnt = cnt + pk
+        avg = acc / jnp.maximum(cnt, 1.0)
+        newly = (~k) & (cnt > 0)
+        return jnp.where(newly, avg, f), k | newly
+
+    filled, _ = jax.lax.fori_loop(0, iters, body, (filled, known))
+    return jnp.where(hole, filled, x)
+
+
+def fill_holes(
+    disparity: jax.Array,
+    mask: jax.Array | None = None,
+    method: str = "inpaint",
+    kernel_size: int = 5,
+    diffusion_iters: int = 25,
+) -> jax.Array:
+    """Fill invalid regions of the disparity map (postprocess.py:72-118).
+
+    'inpaint' (Telea fast-marching in the reference) is replaced by
+    nearest-valid seeding followed by masked Jacobi diffusion — smooth
+    fills equivalent under the bad-pixel metric. 'nearest' mirrors the
+    reference's bounded dilate loop (kernel_size iterations).
+    """
+    d = disparity.astype(jnp.float32)
+    if mask is None:
+        mask = d <= 0
+
+    if method == "nearest":
+        # Reference runs kernel_size dilation rounds with a k x k ellipse;
+        # each of our 3x3 rounds reaches 1 px, so scale iterations by the
+        # ellipse radius to match the fill distance.
+        iters = kernel_size * max(kernel_size // 2, 1)
+        return _masked_nearest_fill(d, mask, iters)
+
+    # 'inpaint': seed with a full nearest fill, then smooth the hole
+    # interior with masked Jacobi iterations of the 4-neighbor Laplacian.
+    h, w = d.shape
+    seeded = _masked_nearest_fill(d, mask, iters=(h + w))
+
+    def jacobi(_, f):
+        p = jnp.pad(f, 1, mode="edge")
+        avg = 0.25 * (p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:])
+        return jnp.where(mask, avg, f)
+
+    return jax.lax.fori_loop(0, diffusion_iters, jacobi, seeded)
+
+
+def postprocess_disparity(
+    disparity: jax.Array,
+    max_speckle_size: int = 50,
+    max_diff: float = 1.0,
+    outlier_threshold: float = 3.0,
+    outlier_kernel: int = 5,
+    fill_method: str = "inpaint",
+    fill_kernel: int = 3,
+    apply_outlier_removal: bool = True,
+    apply_hole_filling: bool = True,
+) -> jax.Array:
+    """4-step refinement in reference order (postprocess.py:143-169):
+    speckle filter -> outlier mask -> optional hole fill -> 3x3 median."""
+    result = filter_speckles(
+        disparity, 0.0, max_speckle_size=max_speckle_size, max_diff=max_diff
+    )
+    if apply_outlier_removal:
+        outliers = detect_outliers(result, outlier_threshold, outlier_kernel)
+        result = jnp.where(outliers, 0.0, result)
+    if apply_hole_filling:
+        result = fill_holes(result, method=fill_method, kernel_size=fill_kernel)
+    return median3x3(result)

@@ -1,0 +1,235 @@
+"""End-to-end stereo depth pipeline: one jitted, shardable function.
+
+TPU-native replacement for the reference's StereoCore (stereo_core.py):
+everything from rectified grayscale input through disparity and depth is a
+single pure function traced once per (config, shape) and cached — the
+"rebuild matcher on config change" behavior of _build_sgbm
+(stereo_core.py:44-75,123) becomes re-jitting keyed on the frozen config.
+
+Stage order mirrors _process_pair (stereo_core.py:162-200):
+  cost volume -> SGM aggregation -> WTA + subpixel + LR -> left-band crop
+  -> fast-mode median OR full postprocess -> disparity->depth.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SGMConfig
+from .calib import RectificationCache
+from .ops import color, costs, depth as depth_ops, filters, remap, sgm, wta
+
+__all__ = ["StereoPipeline", "compute_disparity_volume", "stereo_depth_fn"]
+
+
+def compute_disparity_volume(left, right, cfg: SGMConfig):
+    """Rectified grayscale pair -> aggregated cost volume (H, W, D)."""
+    c = costs.cost_volume(left, right, cfg)
+    return sgm.aggregate(c, cfg.p1, cfg.p2, cfg.num_paths)
+
+
+def raw_disparity(left, right, cfg: SGMConfig):
+    """Full matcher: prefilter/cost/aggregate/WTA. Output float32 (H, W)
+    disparity in pixels on the 1/16 grid (the reference's /16 decode of
+    int16 fixed point, stereo_core.py:232); invalid = min_disp - 1."""
+    if cfg.use_pallas and jax.default_backend() == "tpu":
+        from .ops import pallas_sgm
+
+        try:
+            return pallas_sgm.sgm_disparity(left, right, cfg)
+        except NotImplementedError:
+            pass
+    s = compute_disparity_volume(left, right, cfg)
+    return wta.wta_disparity(
+        s, cfg.min_disp, cfg.uniqueness_ratio, cfg.disp12_max_diff
+    )
+
+
+def postprocess_and_depth(
+    disp,
+    cfg: SGMConfig,
+    downscale_factor: float = 1.0,
+    fast_mode: bool = False,
+):
+    """Crop + postprocess + depth on a raw (uncropped) disparity map
+    (the tail of _process_pair, stereo_core.py:166-196)."""
+    # Crop the invalid left band (stereo_core.py:168).
+    disp = disp[:, cfg.num_disp :]
+
+    if fast_mode:
+        # Fast mode: 3x3 median only (stereo_core.py:171-173).
+        disp = filters.median3x3(disp)
+    else:
+        disp = filters.postprocess_disparity(
+            disp,
+            max_speckle_size=int(100 * downscale_factor),
+            max_diff=1.0,
+            outlier_threshold=2.5,
+            fill_method="inpaint",
+            apply_outlier_removal=True,
+            apply_hole_filling=cfg.hole_filling,
+        )
+
+    depth_m = None
+    if cfg.focal_length is not None and cfg.baseline is not None:
+        # Reference quirk preserved: eps = min_disp (stereo_core.py:189,194).
+        depth_m = depth_ops.disparity_to_depth(
+            disp,
+            cfg.focal_length,
+            cfg.baseline,
+            cfg.doffs,
+            eps=float(cfg.min_disp),
+            max_depth=cfg.max_depth,
+        )
+    return disp, depth_m
+
+
+def stereo_depth_fn(
+    left,
+    right,
+    cfg: SGMConfig,
+    downscale_factor: float = 1.0,
+    fast_mode: bool = False,
+):
+    """The jittable per-pair pipeline on a rectified grayscale pair.
+
+    Returns (disparity_px, depth_m_or_None); disparity width is
+    W - num_disp after the left-band crop.
+    """
+    disp = raw_disparity(left, right, cfg)
+    return postprocess_and_depth(disp, cfg, downscale_factor, fast_mode)
+
+
+class StereoPipeline:
+    """Stateful facade over the pure pipeline (the StereoCore equivalent).
+
+    Holds the frozen config, a jit cache keyed on (config, shape, flags)
+    and a rectification-map cache. All per-frame compute is on device.
+    """
+
+    def __init__(self, cfg: Optional[SGMConfig] = None, downscale_factor: float = 1.0,
+                 fast_mode: bool = False):
+        self.cfg = cfg or SGMConfig()
+        self.downscale_factor = downscale_factor
+        self.fast_mode = fast_mode
+        self._rect_cache = RectificationCache()
+        self._jit_cache = {}
+        self.disparity_map = None
+        self.depth_map = None
+        self.left_rectified = None
+        self.right_rectified = None
+
+    # -- config management (configure_sgbm parity, stereo_core.py:77-123) --
+    def configure(self, **kwargs) -> None:
+        self.cfg = self.cfg.updated(downscale_factor=self.downscale_factor, **kwargs)
+        # jit cache entries keyed on config remain valid; new config keys
+        # trigger fresh traces lazily.
+
+    def get_params(self) -> dict:
+        return self.cfg.as_reference_dict()
+
+    # -- rectification (stereo_core.py:125-160) --
+    def prepare_rectified(self, left_img, right_img):
+        """Rectify when full calibration is present, else just grayscale
+        (stereo_core.py:138-160)."""
+        cfg = self.cfg
+        if cfg.has_full_calibration():
+            maps = self._rect_cache.get_maps(cfg.calib, cfg.baseline, alpha=1.0)
+            gray_l = color.to_grayscale(jnp.asarray(left_img)).astype(jnp.float32)
+            gray_r = color.to_grayscale(jnp.asarray(right_img)).astype(jnp.float32)
+            size_hw = (cfg.calib.image_height, cfg.calib.image_width)
+            if gray_l.shape != size_hw:
+                gray_l = color.resize_bilinear(gray_l, size_hw)
+            if gray_r.shape != size_hw:
+                gray_r = color.resize_bilinear(gray_r, size_hw)
+            rect_l = remap.remap_bilinear(
+                gray_l, jnp.asarray(maps["map_x_l"]), jnp.asarray(maps["map_y_l"])
+            )
+            rect_r = remap.remap_bilinear(
+                gray_r, jnp.asarray(maps["map_x_r"]), jnp.asarray(maps["map_y_r"])
+            )
+            return rect_l, rect_r
+        gray_l = color.to_grayscale(jnp.asarray(left_img))
+        gray_r = color.to_grayscale(jnp.asarray(right_img))
+        return gray_l.astype(jnp.float32), gray_r.astype(jnp.float32)
+
+    # -- jit plumbing --
+    def _get_jitted(self, shape):
+        key = (self.cfg, shape, self.fast_mode, self.downscale_factor)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            cfg, ds, fm = self.cfg, self.downscale_factor, self.fast_mode
+
+            @jax.jit
+            def run(left, right):
+                return stereo_depth_fn(left, right, cfg, ds, fm)
+
+            self._jit_cache[key] = fn = run
+        return fn
+
+    def compute_disparity(self, rectified_l, rectified_r):
+        """Matcher-only stage (compute_disparity parity,
+        stereo_core.py:212-232). This is the injectable test seam the
+        reference exposes (tests/test_postproc_logic.py replaces it)."""
+        cfg = self.cfg
+
+        @functools.partial(jax.jit)
+        def run(l, r):
+            return raw_disparity(l, r, cfg)
+
+        return run(
+            jnp.asarray(rectified_l, jnp.float32),
+            jnp.asarray(rectified_r, jnp.float32),
+        )
+
+    def _get_post_jitted(self, shape):
+        key = ("post", self.cfg, shape, self.fast_mode, self.downscale_factor)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            cfg, ds, fm = self.cfg, self.downscale_factor, self.fast_mode
+
+            @jax.jit
+            def run(disp):
+                return postprocess_and_depth(disp, cfg, ds, fm)
+
+            self._jit_cache[key] = fn = run
+        return fn
+
+    def process_pair(self, left_rect, right_rect):
+        """Full pipeline on an already-rectified pair (_process_pair
+        parity, stereo_core.py:162-200).
+
+        If compute_disparity has been replaced on the instance (the
+        reference's injectable fake-matcher seam,
+        tests/test_postproc_logic.py:19,28), the override feeds the
+        postprocess/depth tail; otherwise the fully fused jitted pipeline
+        runs.
+        """
+        left = jnp.asarray(left_rect, jnp.float32)
+        right = jnp.asarray(right_rect, jnp.float32)
+        if "compute_disparity" in self.__dict__:
+            disp = jnp.asarray(self.compute_disparity(left, right), jnp.float32)
+            disp, depth_m = self._get_post_jitted(disp.shape)(disp)
+        else:
+            fn = self._get_jitted(left.shape)
+            disp, depth_m = fn(left, right)
+        self.disparity_map = np.asarray(disp)
+        self.depth_map = None if depth_m is None else np.asarray(depth_m)
+        return self.disparity_map, self.depth_map
+
+    def estimate_depth(self, left_source, right_source):
+        """Raw images -> rectification -> disparity -> depth
+        (estimate_depth parity, stereo_core.py:274-293)."""
+        if left_source is None or right_source is None:
+            raise ValueError(
+                "Left and right sources must be set before estimating depth."
+            )
+        self.left_rectified, self.right_rectified = self.prepare_rectified(
+            left_source, right_source
+        )
+        return self.process_pair(self.left_rectified, self.right_rectified)
