@@ -1,0 +1,156 @@
+"""Monocular depth model: ViT encoder + DPT head, pjit-shardable.
+
+Capability parity with the reference's HF Depth-Anything-V2 pipeline
+(MonocularDepthEstimator.py:27-76): load -> warmup -> per-image inference
+returning relative depth. Weights either come from a converted HF
+checkpoint (models/convert.py) or random init (when only the architecture
+is exercised, e.g. benchmarking / training from scratch).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dpt import DPTConfig, DPTHead
+from .vit import ViT, ViTConfig
+
+__all__ = ["MonoDepthNet", "MonoDepthModel", "preprocess_image"]
+
+_SIZE_PRESETS = {
+    "small": (ViTConfig.small, DPTConfig(features=64,
+                                         reassemble_channels=(48, 96, 192, 384))),
+    "base": (ViTConfig.base, DPTConfig(features=128,
+                                       reassemble_channels=(96, 192, 384, 768))),
+    "large": (ViTConfig.large, DPTConfig(features=256,
+                                         reassemble_channels=(256, 512, 1024, 1024))),
+}
+
+
+class MonoDepthNet(nn.Module):
+    """Encoder + head as one module: images (B, H, W, 3) in [0,1] ->
+    relative depth (B, H, W)."""
+
+    vit_cfg: ViTConfig
+    dpt_cfg: DPTConfig
+
+    @nn.compact
+    def __call__(self, images):
+        b, h, w, _ = images.shape
+        taps = ViT(self.vit_cfg, name="backbone")(images)
+        gh = h // self.vit_cfg.patch_size
+        gw = w // self.vit_cfg.patch_size
+        return DPTHead(self.dpt_cfg, name="head")(taps, (gh, gw), (h, w))
+
+
+def preprocess_image(image: np.ndarray, target: int = 518,
+                     patch: int = 14) -> np.ndarray:
+    """HF AutoImageProcessor-equivalent preprocessing: scale to ~target on
+    the short side, snap dims to patch multiples, [0,1] floats.
+    (Normalization lives inside the network.)"""
+    h, w = image.shape[:2]
+    scale = target / min(h, w)
+    nh = max(int(round(h * scale / patch)) * patch, patch)
+    nw = max(int(round(w * scale / patch)) * patch, patch)
+    from PIL import Image as PILImage
+
+    im = PILImage.fromarray(image).resize((nw, nh), PILImage.Resampling.BICUBIC)
+    return np.asarray(im, dtype=np.float32) / 255.0
+
+
+@dataclass
+class MonoDepthModel:
+    """Loaded model: params + jitted apply (warm-started per input shape)."""
+
+    net: MonoDepthNet
+    params: Any
+    _jit_cache: dict = None
+
+    @classmethod
+    def create(cls, size: str = "small", seed: int = 0,
+               image_size: int = 518, dtype=jnp.float32) -> "MonoDepthModel":
+        vit_fn, dpt_cfg = _SIZE_PRESETS[size]
+        vit_cfg = vit_fn(image_size=image_size, dtype=dtype)
+        dpt_cfg = DPTConfig(**{**dpt_cfg.__dict__, "dtype": dtype})
+        net = MonoDepthNet(vit_cfg, dpt_cfg)
+        dummy = jnp.zeros((1, vit_cfg.patch_size * 4, vit_cfg.patch_size * 4, 3))
+        variables = net.init(jax.random.PRNGKey(seed), dummy)
+        # Unbox nn.Partitioned leaves for plain single-chip use; the sharded
+        # training path re-derives logical axes from the module metadata
+        # (models/train.py).
+        params = nn.meta.unbox(variables)["params"]
+        return cls(net=net, params=params, _jit_cache={})
+
+    @classmethod
+    def load(cls, model_path: str) -> "MonoDepthModel":
+        """Load from a path: an orbax/msgpack checkpoint directory produced
+        by save(), a HF Depth-Anything-V2 snapshot (converted on the fly,
+        models/convert.py), or a size preset name ('small'/'base'/'large')
+        for random init."""
+        if model_path in _SIZE_PRESETS:
+            return cls.create(model_path)
+        if os.path.isdir(model_path):
+            ckpt = os.path.join(model_path, "depthestimation_tpu_params.msgpack")
+            if os.path.exists(ckpt):
+                return cls._load_msgpack(model_path, ckpt)
+            # HF snapshot layout (config.json + *.safetensors / *.bin).
+            if os.path.exists(os.path.join(model_path, "config.json")):
+                from .convert import load_hf_depth_anything
+
+                return load_hf_depth_anything(model_path)
+        raise FileNotFoundError(f"No loadable model at {model_path}")
+
+    @classmethod
+    def _load_msgpack(cls, model_dir, ckpt):
+        import json
+
+        from flax.serialization import msgpack_restore
+
+        with open(os.path.join(model_dir, "depthestimation_tpu_config.json")) as f:
+            meta = json.load(f)
+        model = cls.create(meta["size"], image_size=meta["image_size"])
+        with open(ckpt, "rb") as f:
+            restored = msgpack_restore(f.read())
+        model.params = jax.tree.map(jnp.asarray, restored)
+        return model
+
+    def save(self, model_dir: str, size: str = "small", image_size: int = 518):
+        import json
+
+        from flax.serialization import msgpack_serialize
+
+        os.makedirs(model_dir, exist_ok=True)
+        with open(os.path.join(model_dir, "depthestimation_tpu_config.json"), "w") as f:
+            json.dump({"size": size, "image_size": image_size}, f)
+        flat = jax.tree.map(lambda x: np.asarray(x), self.params)
+        with open(os.path.join(model_dir, "depthestimation_tpu_params.msgpack"), "wb") as f:
+            f.write(msgpack_serialize(flat))
+
+    def _apply_fn(self, shape):
+        if self._jit_cache is None:
+            self._jit_cache = {}
+        fn = self._jit_cache.get(shape)
+        if fn is None:
+            net = self.net
+
+            @jax.jit
+            def apply(params, images):
+                return net.apply({"params": params}, images)
+
+            self._jit_cache[shape] = fn = apply
+        return fn
+
+    def predict(self, image: np.ndarray) -> np.ndarray:
+        """Single RGB uint8 image (H, W, 3) -> relative depth (H, W) at the
+        preprocessed resolution (HF predicted_depth semantics)."""
+        x = preprocess_image(image)
+        batch = jnp.asarray(x)[None]
+        fn = self._apply_fn(batch.shape)
+        depth = fn(self.params, batch)
+        return np.asarray(depth[0])

@@ -1,0 +1,95 @@
+"""Sharded training step for the monocular depth net.
+
+The reference is inference-only (no training anywhere, SURVEY.md section 5);
+this is the TPU build's capability extension that exercises the full
+parallelism stack: data parallelism over the batch and tensor parallelism
+over the ViT 'mlp'/'heads' logical axes, laid out on a
+Mesh(('data', 'model')) via flax logical partitioning + jit shardings.
+
+Loss: scale-invariant log loss (SiLog, the standard monocular-depth
+objective) with a validity mask.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mono import MonoDepthNet
+
+__all__ = ["LOGICAL_RULES", "make_sharded_train_state", "make_train_step",
+           "silog_loss"]
+
+# Logical-axis -> mesh-axis rules. 'embed' stays replicated (activations
+# shard over batch); 'mlp' and 'heads' shard over the tensor-parallel
+# 'model' axis.
+LOGICAL_RULES = (
+    ("embed", None),
+    ("mlp", "model"),
+    ("heads", "model"),
+)
+
+
+def silog_loss(pred, target, valid, lam: float = 0.5, eps: float = 1e-6):
+    """Scale-invariant log loss over valid pixels."""
+    d = jnp.log(pred + eps) - jnp.log(target + eps)
+    d = jnp.where(valid, d, 0.0)
+    n = jnp.maximum(valid.sum(), 1)
+    mse = (d * d).sum() / n
+    mean = d.sum() / n
+    return mse - lam * mean * mean
+
+
+def make_sharded_train_state(net: MonoDepthNet, mesh: Mesh, image_hw,
+                             learning_rate: float = 1e-4, seed: int = 0):
+    """Init params laid out on the mesh; returns (params, opt_state,
+    param_shardings, tx)."""
+    h, w = image_hw
+    dummy = jnp.zeros((1, h, w, 3))
+
+    def init_fn(rng):
+        return net.init(rng, dummy)
+
+    abstract = jax.eval_shape(init_fn, jax.random.PRNGKey(seed))
+    logical_spec = nn.get_partition_spec(abstract)
+    shardings = nn.logical_to_mesh_sharding(logical_spec, mesh, LOGICAL_RULES)
+
+    init_jit = jax.jit(init_fn, out_shardings=shardings)
+    variables = init_jit(jax.random.PRNGKey(seed))
+    params = nn.meta.unbox(variables)["params"]
+    param_shardings = nn.meta.unbox(shardings)["params"]
+
+    tx = optax.adamw(learning_rate)
+    opt_state = jax.jit(tx.init)(params)  # inherits param shardings
+    return params, opt_state, param_shardings, tx
+
+
+def make_train_step(net: MonoDepthNet, tx, mesh: Mesh, param_shardings):
+    """Jitted train step: (params, opt_state, images, targets) -> (params,
+    opt_state, loss). Batch axis sharded over 'data'."""
+    data_sharding = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    def loss_fn(params, images, targets):
+        pred = net.apply({"params": params}, images)
+        valid = targets > 0
+        return silog_loss(pred, targets, valid)
+
+    @jax.jit
+    def train_step(params, opt_state, images, targets):
+        loss, grads = jax.value_and_grad(loss_fn)(params, images, targets)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def step(params, opt_state, images, targets):
+        images = jax.device_put(images, data_sharding)
+        targets = jax.device_put(targets, data_sharding)
+        return train_step(params, opt_state, images, targets)
+
+    return step
