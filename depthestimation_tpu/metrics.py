@@ -1,0 +1,88 @@
+"""Lightweight per-frame metrics (SURVEY.md section 5: the reference has
+only ad-hoc prints — example_stereo.py:36-40, viz titles at
+visualizations.py:102-106; this makes those stats a first-class struct).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import asdict, dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+__all__ = ["FrameMetrics", "MetricsAggregator", "compute_frame_metrics"]
+
+
+@dataclass
+class FrameMetrics:
+    """Stats for one processed frame."""
+
+    frame_index: int = 0
+    latency_ms: float = 0.0
+    fps: float = 0.0
+    valid_fraction: float = 0.0  # disparity > 0 (reference validity rule)
+    disp_min: float = 0.0  # over valid pixels
+    disp_max: float = 0.0
+    disp_mean: float = 0.0
+    depth_invalid_pct: Optional[float] = None  # inf/nan/<=0 fraction, %
+    depth_p50_m: Optional[float] = None
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self))
+
+
+def compute_frame_metrics(disparity, depth=None, frame_index=0,
+                          latency_ms=0.0) -> FrameMetrics:
+    d = np.asarray(disparity)
+    valid = d > 0
+    m = FrameMetrics(
+        frame_index=frame_index,
+        latency_ms=latency_ms,
+        fps=(1000.0 / latency_ms) if latency_ms > 0 else 0.0,
+        valid_fraction=float(valid.mean()),
+        disp_min=float(d[valid].min()) if valid.any() else 0.0,
+        disp_max=float(d[valid].max()) if valid.any() else 0.0,
+        disp_mean=float(d[valid].mean()) if valid.any() else 0.0,
+    )
+    if depth is not None:
+        z = np.asarray(depth)
+        zvalid = np.isfinite(z) & (z > 0)
+        m.depth_invalid_pct = float(100.0 * (~zvalid).mean())
+        m.depth_p50_m = float(np.percentile(z[zvalid], 50)) if zvalid.any() else None
+    return m
+
+
+class MetricsAggregator:
+    """Rolling aggregate over a stream (mean fps/latency, last frame)."""
+
+    def __init__(self, window: int = 120):
+        self.window = window
+        self._lat: List[float] = []
+        self.frames = 0
+        self.last: Optional[FrameMetrics] = None
+        self._t0 = time.time()
+
+    def update(self, m: FrameMetrics):
+        self.frames += 1
+        self.last = m
+        self._lat.append(m.latency_ms)
+        if len(self._lat) > self.window:
+            self._lat.pop(0)
+
+    @property
+    def mean_latency_ms(self) -> float:
+        return float(np.mean(self._lat)) if self._lat else 0.0
+
+    @property
+    def throughput_fps(self) -> float:
+        dt = time.time() - self._t0
+        return self.frames / dt if dt > 0 else 0.0
+
+    def summary(self) -> dict:
+        return {
+            "frames": self.frames,
+            "mean_latency_ms": round(self.mean_latency_ms, 2),
+            "throughput_fps": round(self.throughput_fps, 2),
+        }

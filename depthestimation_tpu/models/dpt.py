@@ -44,24 +44,56 @@ class ResidualConvUnit(nn.Module):
         return x + y
 
 
+def _resize_align_corners(x, out_hw):
+    """Bilinear resize with align_corners=True semantics (torch
+    F.interpolate align_corners=True; jax.image.resize only offers
+    half-pixel centers). x: (B, H, W, C)."""
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x
+
+    def coords(n_out, n_in):
+        if n_out <= 1 or n_in <= 1:
+            return jnp.zeros((n_out,), jnp.float32)
+        return jnp.arange(n_out, dtype=jnp.float32) * ((n_in - 1) / (n_out - 1))
+
+    ys = coords(oh, h)
+    xs = coords(ow, w)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fy = (ys - y0)[None, :, None, None]
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    fx = (xs - x0)[None, None, :, None]
+
+    rows = x[:, y0] * (1 - fy) + x[:, y1] * fy  # (B, oh, W, C)
+    out = rows[:, :, x0] * (1 - fx) + rows[:, :, x1] * fx
+    return out.astype(x.dtype)
+
+
 class FeatureFusion(nn.Module):
     features: int
     dtype: Any
 
     @nn.compact
-    def __call__(self, x, skip=None):
+    def __call__(self, x, skip=None, out_hw=None):
+        """HF DepthAnythingFeatureFusionLayer semantics: residual resized
+        to x (align_corners=False) if needed, pre-act residual units, then
+        align_corners=True upsample to out_hw (x2 when None), then 1x1
+        projection."""
         if skip is not None:
-            # Odd patch grids make the /2 -> x2 round trip off by one;
-            # align to the skip's resolution before the residual add.
             if x.shape[1:3] != skip.shape[1:3]:
-                b, _, _, c = x.shape
-                x = jax.image.resize(
-                    x, (b, skip.shape[1], skip.shape[2], c), method="bilinear"
+                b, _, _, c = skip.shape
+                skip = jax.image.resize(
+                    skip, (b, x.shape[1], x.shape[2], c), method="bilinear"
                 )
             x = x + ResidualConvUnit(self.features, self.dtype, name="rcu1")(skip)
         x = ResidualConvUnit(self.features, self.dtype, name="rcu2")(x)
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="bilinear")
+        if out_hw is None:
+            out_hw = (h * 2, w * 2)
+        x = _resize_align_corners(x, out_hw)
         return nn.Conv(self.features, (1, 1), name="project", dtype=self.dtype)(x)
 
 
@@ -85,30 +117,45 @@ class DPTHead(nn.Module):
             # ConvTranspose x4 / x2, identity, strided 3x3 conv for /2.
             f = c.factors[i]
             ch = x.shape[-1]
+            # transpose_kernel=True + VALID matches torch ConvTranspose2d
+            # (the gradient-of-conv formulation); the strided conv needs
+            # explicit symmetric padding (XLA SAME pads right-only at
+            # stride 2, torch pads both sides).
             if f == 4.0:
                 x = nn.ConvTranspose(ch, (4, 4), strides=(4, 4),
+                                     padding="VALID", transpose_kernel=True,
                                      name=f"resize_{i}", dtype=c.dtype)(x)
             elif f == 2.0:
                 x = nn.ConvTranspose(ch, (2, 2), strides=(2, 2),
+                                     padding="VALID", transpose_kernel=True,
                                      name=f"resize_{i}", dtype=c.dtype)(x)
             elif f == 0.5:
-                x = nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME",
+                x = nn.Conv(ch, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)),
                             name=f"resize_{i}", dtype=c.dtype)(x)
             x = nn.Conv(c.features, (3, 3), padding="SAME", use_bias=False,
                         name=f"layer_rn_{i}", dtype=c.dtype)(x)
             feats.append(x)
 
-        # Coarse-to-fine fusion (deepest tap first).
-        x = FeatureFusion(c.features, c.dtype, name="fusion_3")(feats[3])
-        x = FeatureFusion(c.features, c.dtype, name="fusion_2")(x, feats[2])
-        x = FeatureFusion(c.features, c.dtype, name="fusion_1")(x, feats[1])
+        # Coarse-to-fine fusion, deepest tap first; each stage upsamples to
+        # the next finer feature's resolution (HF FeatureFusionStage), the
+        # last stage to x2.
+        x = FeatureFusion(c.features, c.dtype, name="fusion_3")(
+            feats[3], out_hw=feats[2].shape[1:3]
+        )
+        x = FeatureFusion(c.features, c.dtype, name="fusion_2")(
+            x, feats[2], out_hw=feats[1].shape[1:3]
+        )
+        x = FeatureFusion(c.features, c.dtype, name="fusion_1")(
+            x, feats[1], out_hw=feats[0].shape[1:3]
+        )
         x = FeatureFusion(c.features, c.dtype, name="fusion_0")(x, feats[0])
 
-        x = nn.Conv(c.head_features, (3, 3), padding="SAME", name="head_conv1",
-                    dtype=c.dtype)(x)
-        b, h, w, _ = x.shape
-        x = jax.image.resize(x, (b, out_hw[0], out_hw[1], x.shape[-1]),
-                             method="bilinear")
+        # HF DepthAnything head: conv1 -> features//2, upsample to input
+        # resolution, conv2 -> head_features, relu, 1x1 -> depth.
+        x = nn.Conv(max(c.features // 2, 1), (3, 3), padding="SAME",
+                    name="head_conv1", dtype=c.dtype)(x)
+        x = _resize_align_corners(x, out_hw)
         x = nn.Conv(c.head_features, (3, 3), padding="SAME", name="head_conv2",
                     dtype=c.dtype)(x)
         x = nn.relu(x)

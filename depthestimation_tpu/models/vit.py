@@ -187,10 +187,11 @@ class ViT(nn.Module):
         if (gh, gw) != (grid0, grid0):
             # Bilinear position-embedding interpolation for non-default
             # resolutions (DINOv2 interpolate_pos_encoding semantics).
+            # Bicubic, matching HF Dinov2 interpolate_pos_encoding.
             pos_patch = jax.image.resize(
                 pos_patch.reshape(1, grid0, grid0, c.hidden_size),
                 (1, gh, gw, c.hidden_size),
-                method="bilinear",
+                method="bicubic",
             ).reshape(1, gh * gw, c.hidden_size)
         x = x + jnp.concatenate([pos_cls, pos_patch], axis=1).astype(c.dtype)
 
@@ -198,7 +199,14 @@ class ViT(nn.Module):
         for i in range(c.num_layers):
             x = Block(c, name=f"block_{i}")(x)
             if i in c.out_layers:
-                by_layer[i] = (x[:, 1:, :], x[:, 0, :])
+                by_layer[i] = x
+        # Shared final LayerNorm applied to every tap (Dinov2Backbone
+        # apply_layernorm semantics; HF weight 'backbone.layernorm').
+        final_norm = nn.LayerNorm(name="norm", dtype=c.dtype)
+        taps = []
         # One tap per out_layers entry (duplicates allowed, e.g. tiny test
         # models reuse a layer for several DPT scales).
-        return [by_layer[i] for i in c.out_layers]
+        for i in c.out_layers:
+            normed = final_norm(by_layer[i])
+            taps.append((normed[:, 1:, :], normed[:, 0, :]))
+        return taps

@@ -44,11 +44,14 @@ def xsobel_prefilter(img: jax.Array, cap: int) -> jax.Array:
 
 
 def _half_sample_envelope(img: jax.Array):
-    """Per-pixel min/max over {v, (v+v_left)/2, (v+v_right)/2} (BT)."""
+    """Per-pixel min/max over {v, (v+v_left)/2, (v+v_right)/2} (BT).
+
+    Half samples use integer truncation like OpenCV's (a+b)/2 on
+    non-negative prefiltered values, keeping costs on an integer grid."""
     left = jnp.pad(img, ((0, 0), (1, 0)), mode="edge")[:, :-1]
     right = jnp.pad(img, ((0, 0), (0, 1)), mode="edge")[:, 1:]
-    hl = 0.5 * (img + left)
-    hr = 0.5 * (img + right)
+    hl = jnp.floor(0.5 * (img + left))
+    hr = jnp.floor(0.5 * (img + right))
     vmin = jnp.minimum(img, jnp.minimum(hl, hr))
     vmax = jnp.maximum(img, jnp.maximum(hl, hr))
     return vmin, vmax

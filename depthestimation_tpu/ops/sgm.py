@@ -39,7 +39,7 @@ _PATHS = {
     2: [(0, 1), (0, -1)],
     3: [(0, 1), (0, -1), (1, 0)],
     4: [(0, 1), (0, -1), (1, 0), (-1, 0)],
-    5: [(0, 1), (0, -1), (1, 0), (-1, 0), (1, 1)],
+    5: [(0, 1), (0, -1), (1, 0), (1, 1), (1, -1)],
     8: [
         (0, 1),
         (0, -1),
