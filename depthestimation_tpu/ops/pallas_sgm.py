@@ -463,6 +463,6 @@ def sgm_disparity(left, right, cfg):
 
         valid = min_s < _BIG
         bad = lr_invalidate(d0, min_s, valid, cfg.disp12_max_diff,
-                            cfg.min_disp)
+                            cfg.min_disp, num_disp=cfg.num_disp)
         disp = jnp.where(bad, jnp.float32(cfg.min_disp - 1), disp)
     return disp[:h]

@@ -29,34 +29,51 @@ __all__ = ["wta_disparity", "lr_invalidate"]
 _BIG = jnp.int32(2**20)
 
 
-def lr_invalidate(d0, min_s, valid, disp12_max_diff, min_disp):
+def lr_invalidate(d0, min_s, valid, disp12_max_diff, min_disp, num_disp=None):
     """OpenCV-style LR consistency on (H, W) maps.
 
-    disp2[xr] = d0 of the minimum-cost claimant x with x - d0(x) = xr
-    (scatter-min over uniqueness survivors); a pixel fails when
-    |disp2[x - d0] - d0| > disp12_max_diff, including when its right pixel
-    has no claimant or falls outside the image.
+    disp2[xr] = d0 of the minimum-cost claimant x with x - d0(x) = xr; a
+    pixel fails when |disp2[x - d0] - d0| > disp12_max_diff, including when
+    its right pixel has no claimant or falls outside the image.
+
+    TPU-native formulation: the claimants of right pixel xr are exactly
+    x = xr + d + min_disp for d in [0, D), so the scatter-min over left
+    pixels becomes a static shift loop over d — each iteration reads the
+    (min_s, d0) maps at a *static* lane offset (pure vector slices, no
+    scatter/gather; XLA fuses the unrolled loop into one pass). Iterating
+    d ascending with a strict '<' update reproduces the deterministic
+    min-d0 tie-break among equal-cost claimants.
     """
     h, w = d0.shape
-    x_idx = jnp.broadcast_to(jnp.arange(w)[None, :], (h, w))
-    xr = x_idx - d0 - min_disp
-    inb = (xr >= 0) & valid
-    xr_c = jnp.clip(xr, 0, w - 1)
+    if num_disp is None:
+        raise ValueError("num_disp is required")
 
-    rows = jnp.broadcast_to(jnp.arange(h)[:, None], (h, w))
-    # Scatter-min of cost; then a second scatter recovers the argmin's d0.
-    cost2 = jnp.full((h, w), _BIG).at[rows, xr_c].min(
-        jnp.where(inb, min_s, _BIG)
-    )
-    claimed = cost2[rows, xr_c]
-    # d0 of the winning claimant (min d0 among cost ties, deterministic).
-    disp2 = jnp.full((h, w), _BIG).at[rows, xr_c].min(
-        jnp.where(inb & (min_s == claimed), d0, _BIG)
-    )
-    d_r_at = disp2[rows, xr_c]
-    lr_bad = jnp.abs(d_r_at - d0) > disp12_max_diff
-    oob = xr < 0
-    return lr_bad | oob
+    big = _BIG
+    pad_r = num_disp + min_disp
+    # Left pixels x >= w do not exist; pad claims with BIG (no claimant).
+    ms_pad = jnp.pad(jnp.where(valid, min_s, big), ((0, 0), (0, pad_r)),
+                     constant_values=big)
+
+    cost2 = jnp.full((h, w), big)
+    disp2 = jnp.full((h, w), big)
+    for d in range(num_disp):
+        off = d + min_disp
+        cand = jnp.where(d0[:, off:] == d, ms_pad[:, off : off + w - off],
+                         big)
+        cand = jnp.pad(cand, ((0, 0), (0, off)), constant_values=big)
+        take = cand < cost2
+        cost2 = jnp.where(take, cand, cost2)
+        disp2 = jnp.where(take, d, disp2)
+
+    # Check phase: pixel x with index d reads disp2[x - d - min_disp];
+    # again a static shift per d (pad left = out-of-bounds -> bad).
+    d2_pad = jnp.pad(disp2, ((0, 0), (pad_r, 0)), constant_values=-big)
+    bad = jnp.zeros((h, w), dtype=bool)
+    for d in range(num_disp):
+        off = d + min_disp
+        dr_at = d2_pad[:, pad_r - off : pad_r - off + w]
+        bad = bad | ((d0 == d) & (jnp.abs(dr_at - d) > disp12_max_diff))
+    return bad
 
 
 def wta_disparity(
@@ -89,7 +106,7 @@ def wta_disparity(
 
     if disp12_max_diff >= 0:
         invalid = invalid | lr_invalidate(
-            d0, min_s, ~invalid, disp12_max_diff, min_disp
+            d0, min_s, ~invalid, disp12_max_diff, min_disp, num_disp=num_d
         )
 
     # OpenCV integer subpixel: d*16 + ((cm - cp)*16 + denom) / (2*denom)
