@@ -43,8 +43,9 @@ from . import costs as xcosts
 
 __all__ = ["sgm_disparity", "pallas_supported"]
 
-ROWS = 8      # row-band height
-XCHUNK = 256  # x-chunk width for the scan kernels
+ROWS = 8      # row-band height (cost kernel, vertical sweeps, WTA)
+SROWS = 32    # row-band height for the horizontal scan kernels
+UNROLL = 4    # x positions per horizontal-scan loop iteration
 LANE = 128
 INTERPRET = False  # set True to run kernels in interpreter mode (CPU tests)
 
@@ -66,7 +67,7 @@ def pallas_supported(cfg, shape: Tuple[int, int]) -> bool:
 
 def _cost_kernel(u_hbm, u0_hbm, u1_hbm, v_hbm, v0_hbm, v1_hbm, out_ref,
                  u_s, u0_s, u1_s, v_s, v0_s, v1_s, sems, *,
-                 d_chunk, min_disp, block_size, pad, w, rows_al):
+                 d_chunk, min_disp, block_size, pad, w, rows_al, real_h):
     """Grid (bands, d-chunks), d fastest. DMA the band's slabs at chunk 0;
     the rolling right buffers persist in scratch across d-chunks."""
     r = block_size // 2
@@ -118,8 +119,16 @@ def _cost_kernel(u_hbm, u0_hbm, u1_hbm, v_hbm, v0_hbm, v1_hbm, out_ref,
         acc = acc_v[:, :w]
         for k in range(1, block_size):
             acc = acc + acc_v[:, k : k + w]
+        acc = acc.astype(jnp.int32)
+        if real_h is not None:
+            # Zero the rows beyond the real image: a zero-cost pad row
+            # makes every SGM sweep entering it carry L=0, so the first
+            # real row sees exactly the fresh-start carry the unpadded
+            # XLA reference uses (bit-exact under band padding).
+            row = i * ROWS + jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0)
+            acc = jnp.where(row < real_h, acc, 0)
         # Output layout (rows, D, W): lanes span W -> middle-dim write.
-        out_ref[:, dd, :] = acc.astype(jnp.int32)
+        out_ref[:, dd, :] = acc
         # Roll the scratch buffers in place (VMEM->VMEM); keeping them as
         # register-carried loop state explodes compile time.
         v_s[:] = pltpu.roll(v_s[:], 1, 1)
@@ -130,8 +139,12 @@ def _cost_kernel(u_hbm, u0_hbm, u1_hbm, v_hbm, v0_hbm, v1_hbm, out_ref,
     jax.lax.fori_loop(0, d_chunk, body, 0)
 
 
-def bt_cost_volume_pallas(left, right, cfg):
-    """(H, W) prefilter+BT+SAD -> (H, W, D) int32 cost volume."""
+def bt_cost_volume_pallas(left, right, cfg, real_h=None):
+    """(H, W) prefilter+BT+SAD -> (H, W, D) int32 cost volume.
+
+    real_h: when the caller band-padded the images, the original image
+    height; cost rows >= real_h are written as zeros so the SGM sweeps
+    stay bit-exact vs the unpadded reference (see _cost_kernel)."""
     h, w = left.shape
     d_num = cfg.num_disp
     bs = cfg.block_size
@@ -184,7 +197,7 @@ def bt_cost_volume_pallas(left, right, cfg):
 
     kernel = functools.partial(
         _cost_kernel, d_chunk=d_chunk, min_disp=cfg.min_disp,
-        block_size=bs, pad=pad, w=w, rows_al=rows_al,
+        block_size=bs, pad=pad, w=w, rows_al=rows_al, real_h=real_h,
     )
     out = pl.pallas_call(
         kernel,
@@ -216,13 +229,13 @@ def bt_cost_volume_pallas(left, right, cfg):
 
 _BIG = 2**20
 
-def _pick_chunk(w: int) -> int:
-    """Largest lane-aligned (multiple-of-128) divisor of w that is <= 512;
-    falls back to the full width when none exists."""
+def _pick_chunk(w: int, max_chunk: int = 512) -> int:
+    """Largest lane-aligned (multiple-of-128) divisor of w that is
+    <= max_chunk; falls back to the full width when none exists."""
     best = None
     for k in range(1, w // LANE + 1):
         c = k * LANE
-        if w % c == 0 and c <= 512:
+        if w % c == 0 and c <= max_chunk:
             best = c
     return best if best is not None else w
 
@@ -248,7 +261,7 @@ def _sgm_step(l_prev, c, p1, p2, big):
 # ----------------------------------------------------------------------
 
 
-def _hscan_kernel(*refs, p1, p2, chunk, backward, accumulate):
+def _hscan_kernel(*refs, p1, p2, chunk, backward, accumulate, unroll):
     if accumulate:
         c_ref, acc_ref, out_ref, carry = refs
     else:
@@ -259,41 +272,52 @@ def _hscan_kernel(*refs, p1, p2, chunk, backward, accumulate):
     def _():
         carry[:] = jnp.zeros_like(carry)
 
-    def body(k, l_prev):
-        x = chunk - 1 - k if backward else k
-        c = c_ref[:, x, :]
-        l_cur = _sgm_step(l_prev, c, p1, p2, _BIG)
-        if accumulate:
-            out_ref[:, x, :] = acc_ref[:, x, :] + l_cur
-        else:
-            out_ref[:, x, :] = l_cur
-        return l_cur
+    nit = chunk // unroll
 
-    carry[:] = jax.lax.fori_loop(0, chunk, body, carry[:])
+    def body(k, l_prev):
+        # One slab load/store of `unroll` consecutive x positions
+        # amortizes per-step loop and addressing overhead; the recurrence
+        # itself stays strictly sequential.
+        base = (nit - 1 - k) * unroll if backward else k * unroll
+        c_blk = c_ref[:, pl.ds(base, unroll), :]
+        if accumulate:
+            a_blk = acc_ref[:, pl.ds(base, unroll), :]
+        res = [None] * unroll
+        order = range(unroll - 1, -1, -1) if backward else range(unroll)
+        for i in order:
+            l_prev = _sgm_step(l_prev, c_blk[:, i, :], p1, p2, _BIG)
+            res[i] = (a_blk[:, i, :] + l_prev) if accumulate else l_prev
+        out_ref[:, pl.ds(base, unroll), :] = jnp.stack(res, axis=1)
+        return l_prev
+
+    carry[:] = jax.lax.fori_loop(0, nit, body, carry[:])
 
 
 def _hscan(cost, acc, p1, p2, backward):
     h, w, d = cost.shape
-    chunk = _pick_chunk(w)
+    # VMEM: 3 blocks (c, acc, out) double-buffered -> keep chunks small.
+    chunk = _pick_chunk(w, max_chunk=128)
     nchunks = w // chunk
+    unroll = UNROLL if chunk % UNROLL == 0 else 1
     if backward:
         index_map = lambda i, j: (i, nchunks - 1 - j, 0)
     else:
         index_map = lambda i, j: (i, j, 0)
-    spec = pl.BlockSpec((ROWS, chunk, d), index_map, memory_space=pltpu.VMEM)
+    rows = SROWS if h % SROWS == 0 else ROWS
+    spec = pl.BlockSpec((rows, chunk, d), index_map, memory_space=pltpu.VMEM)
 
     ins = [cost] if acc is None else [cost, acc]
     kernel = functools.partial(
         _hscan_kernel, p1=p1, p2=p2, chunk=chunk, backward=backward,
-        accumulate=acc is not None,
+        accumulate=acc is not None, unroll=unroll,
     )
     return pl.pallas_call(
         kernel,
-        grid=(h // ROWS, nchunks),
+        grid=(h // rows, nchunks),
         in_specs=[spec] * len(ins),
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((h, w, d), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((ROWS, d), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((rows, d), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -441,13 +465,16 @@ def sgm_disparity(left, right, cfg):
     if not pallas_supported(cfg, (h, w)):
         raise NotImplementedError
 
-    h_pad = (-h) % ROWS
+    # Pad to the horizontal-scan band height; padded cost rows are written
+    # as zeros (bt_cost_volume_pallas real_h) so vertical sweeps crossing
+    # the pad stay bit-exact vs the unpadded reference.
+    h_pad = (-h) % SROWS
     left_p = jnp.pad(left.astype(jnp.float32), ((0, h_pad), (0, 0)),
                      mode="edge")
     right_p = jnp.pad(right.astype(jnp.float32), ((0, h_pad), (0, 0)),
                       mode="edge")
 
-    c = bt_cost_volume_pallas(left_p, right_p, cfg)
+    c = bt_cost_volume_pallas(left_p, right_p, cfg, real_h=h)
 
     p1, p2 = cfg.p1, cfg.p2
     acc = hsweep_pallas(c, p1, p2)
