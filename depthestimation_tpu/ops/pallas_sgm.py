@@ -139,12 +139,17 @@ def _cost_kernel(u_hbm, u0_hbm, u1_hbm, v_hbm, v0_hbm, v1_hbm, out_ref,
     jax.lax.fori_loop(0, d_chunk, body, 0)
 
 
-def bt_cost_volume_pallas(left, right, cfg, real_h=None):
+def bt_cost_volume_pallas(left, right, cfg, out_h=None):
     """(H, W) prefilter+BT+SAD -> (H, W, D) int32 cost volume.
 
-    real_h: when the caller band-padded the images, the original image
-    height; cost rows >= real_h are written as zeros so the SGM sweeps
-    stay bit-exact vs the unpadded reference (see _cost_kernel)."""
+    out_h: pad the output to this many rows (multiple of ROWS); the pad
+    rows are written as zeros so the SGM sweeps entering them carry L=0 —
+    the first real row then sees exactly the fresh-start carry of the
+    unpadded XLA reference (bit-exact band padding). Padding is applied
+    to the *prefiltered* rows here, never to the raw images: replicating
+    a raw row changes its Sobel response and corrupts the bottom r real
+    rows' SAD box sums, whereas replicating prefiltered rows reproduces
+    OpenCV's clamped cost-row taps exactly."""
     h, w = left.shape
     d_num = cfg.num_disp
     bs = cfg.block_size
@@ -156,8 +161,18 @@ def bt_cost_volume_pallas(left, right, cfg, real_h=None):
     u0, u1 = xcosts._half_sample_envelope(pl_img)
     v0, v1 = xcosts._half_sample_envelope(pr_img)
 
-    h_pad = (-h) % ROWS
-    hp = h + h_pad
+    if out_h is None:
+        h_pad = (-h) % ROWS
+        hp = h + h_pad
+        real_h = None
+        ret_h = h
+    else:
+        if out_h % ROWS != 0 or out_h < h:
+            raise ValueError("out_h must be a multiple of ROWS and >= h")
+        hp = out_h
+        h_pad = hp - h
+        real_h = h if h_pad else None
+        ret_h = hp
     rows_ext = ROWS + 2 * r
     rows_al = -(-rows_ext // 8) * 8
     w_l = w + 2 * r
@@ -190,7 +205,7 @@ def bt_cost_volume_pallas(left, right, cfg, real_h=None):
 
     d_chunk = min(d_num, 64)
     grid = (hp // ROWS, d_num // d_chunk)
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_spec = pl.BlockSpec(
         (ROWS, d_chunk, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
     )
@@ -220,7 +235,7 @@ def bt_cost_volume_pallas(left, right, cfg, real_h=None):
         interpret=INTERPRET,
     )(u, u0p, u1p, v, v0p, v1p)
     # (H, D, W) -> (H, W, D): sweeps/WTA read (., D) planes, D on lanes.
-    return jnp.swapaxes(out, 1, 2)[:h]
+    return jnp.swapaxes(out, 1, 2)[:ret_h]
 
 
 # ----------------------------------------------------------------------
@@ -465,16 +480,14 @@ def sgm_disparity(left, right, cfg):
     if not pallas_supported(cfg, (h, w)):
         raise NotImplementedError
 
-    # Pad to the horizontal-scan band height; padded cost rows are written
-    # as zeros (bt_cost_volume_pallas real_h) so vertical sweeps crossing
-    # the pad stay bit-exact vs the unpadded reference.
+    # Pad the cost volume to the horizontal-scan band height; pad rows are
+    # zeros (bt_cost_volume_pallas out_h) so vertical sweeps crossing the
+    # pad stay bit-exact vs the unpadded reference.
     h_pad = (-h) % SROWS
-    left_p = jnp.pad(left.astype(jnp.float32), ((0, h_pad), (0, 0)),
-                     mode="edge")
-    right_p = jnp.pad(right.astype(jnp.float32), ((0, h_pad), (0, 0)),
-                      mode="edge")
-
-    c = bt_cost_volume_pallas(left_p, right_p, cfg, real_h=h)
+    c = bt_cost_volume_pallas(
+        left.astype(jnp.float32), right.astype(jnp.float32), cfg,
+        out_h=h + h_pad,
+    )
 
     p1, p2 = cfg.p1, cfg.p2
     acc = hsweep_pallas(c, p1, p2)
