@@ -258,14 +258,17 @@ def _pick_chunk(w: int, max_chunk: int = 512) -> int:
 
 
 def _sgm_step(l_prev, c, p1, p2, big):
-    """One SGM recurrence step. l_prev, c: (N, D) int32."""
+    """One SGM recurrence step. l_prev, c: (N, D) int32.
+
+    The d±1 neighbor reads are circular lane rolls with the wrapped lane
+    masked to `big` — Mosaic lowers pltpu.roll natively, whereas a lane
+    concatenate of offset slices fails to compile ("result/input offset
+    mismatch on non-concat dimension")."""
+    d = l_prev.shape[-1]
     min_prev = jnp.min(l_prev, axis=-1, keepdims=True)
-    up = jnp.concatenate(
-        [l_prev[:, 1:], jnp.full_like(l_prev[:, :1], big)], axis=1
-    )
-    dn = jnp.concatenate(
-        [jnp.full_like(l_prev[:, :1], big), l_prev[:, :-1]], axis=1
-    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, l_prev.shape, 1)
+    up = jnp.where(lane == d - 1, big, pltpu.roll(l_prev, d - 1, 1))
+    dn = jnp.where(lane == 0, big, pltpu.roll(l_prev, 1, 1))
     best = jnp.minimum(jnp.minimum(l_prev, jnp.minimum(up, dn) + p1),
                        min_prev + p2)
     return c + best - min_prev
