@@ -14,7 +14,8 @@ import numpy as np
 
 from .config import SGMConfig
 from .io.input import load_stereo_pair, stereo_stream
-from .io.threaded import ThreadedStereoCapture
+from .io.threaded import StereoInputPipeline
+from .metrics import MetricsAggregator, compute_frame_metrics
 from .pipeline import StereoPipeline
 from . import viz
 
@@ -119,6 +120,9 @@ class StereoDepthEstimatorVideo:
         self.core = StereoPipeline(
             downscale_factor=downscale_factor, fast_mode=fast_mode
         )
+        # Observability (SURVEY.md section 5): rolling per-frame metrics,
+        # refreshed on every estimate_depth() run.
+        self.metrics = MetricsAggregator()
 
     def configure_sgbm(self, **kwargs):
         self.core.configure(**kwargs)
@@ -133,63 +137,83 @@ class StereoDepthEstimatorVideo:
             else:
                 viz.visualize_depth_live(depth_m, measured_fps)
 
+    def _frames(self):
+        if self.use_threading:
+            import jax
+
+            pipe = StereoInputPipeline(
+                self.left_source,
+                self.right_source,
+                downscale_factor=self.downscale_factor,
+                drop_frames=self.drop_frames,
+                # Stage frames into device memory on the producer thread so
+                # the H2D copy overlaps compute (SURVEY.md 2c two-stage
+                # pipeline); host backends skip the extra hop.
+                to_device=jax.default_backend() == "tpu",
+            )
+            pipe.start()
+            try:
+                yield from pipe
+            finally:
+                pipe.stop()
+        else:
+            yield from stereo_stream(
+                self.left_source, self.right_source,
+                downscale_factor=self.downscale_factor,
+            )
+
     def estimate_depth(self):
-        """Yield a depth map (meters) per synchronized frame pair."""
+        """Yield a depth map (meters) per synchronized frame pair.
+
+        Frame N+1 is dispatched to the device before frame N is pulled
+        back to the host, so capture, H2D, compute and D2H overlap (the
+        reference's thread only overlapped capture with compute).
+        """
         if self.left_source is None or self.right_source is None:
             raise ValueError(
                 "Both left_source and right_source must be provided for video "
                 "depth estimation."
             )
 
-        if self.use_threading:
-            capture = ThreadedStereoCapture(
-                self.left_source,
-                self.right_source,
-                downscale_factor=self.downscale_factor,
-                drop_frames=self.drop_frames,
-            )
-            capture.start()
-            try:
-                frame_start = time.time()
-                measured_fps = float(self.target_fps)
-                while True:
-                    pair = capture.read()
-                    if pair is None:
-                        break
-                    left, right = pair
-                    _, depth_m = self.core.estimate_depth(left, right)
-                    yield depth_m
-                    self._emit(depth_m, measured_fps)
-                    if self._frame_interval > 0:
-                        elapsed = time.time() - frame_start
-                        sleep_t = self._frame_interval - elapsed
-                        if sleep_t > 0:
-                            time.sleep(sleep_t)
-                    now = time.time()
-                    dt = now - frame_start
-                    measured_fps = 1.0 / dt if dt > 0 else measured_fps
-                    frame_start = now
-            finally:
-                capture.stop()
-        else:
-            frame_start = time.time()
-            measured_fps = float(self.target_fps)
-            for left, right in stereo_stream(
-                self.left_source, self.right_source,
-                downscale_factor=self.downscale_factor,
-            ):
-                _, depth_m = self.core.estimate_depth(left, right)
+        self.metrics = MetricsAggregator()
+        self.core.reset_temporal()
+        pending = None  # (device disparity, device depth, dispatch time)
+        frame_start = time.time()
+        measured_fps = float(self.target_fps)
+        index = 0
+
+        def sync(item):
+            nonlocal measured_fps, frame_start, index
+            disp_d, depth_d, t0 = item
+            disp = np.asarray(disp_d)
+            depth_m = None if depth_d is None else np.asarray(depth_d)
+            self.metrics.update(compute_frame_metrics(
+                disp, depth_m, frame_index=index,
+                latency_ms=(time.time() - t0) * 1000.0,
+            ))
+            index += 1
+            return depth_m
+
+        for left, right in self._frames():
+            dispatched = self.core.estimate_depth_async(left, right)
+            if pending is not None:
+                depth_m = sync(pending)
                 yield depth_m
                 self._emit(depth_m, measured_fps)
                 if self._frame_interval > 0:
-                    elapsed = time.time() - frame_start
-                    sleep_t = self._frame_interval - elapsed
+                    sleep_t = self._frame_interval - (time.time() - frame_start)
                     if sleep_t > 0:
                         time.sleep(sleep_t)
                 now = time.time()
                 dt = now - frame_start
                 measured_fps = 1.0 / dt if dt > 0 else measured_fps
                 frame_start = now
+            pending = (dispatched[0], dispatched[1], time.time())
+
+        if pending is not None:
+            depth_m = sync(pending)
+            yield depth_m
+            self._emit(depth_m, measured_fps)
 
 
 class MonocularDepthEstimator:

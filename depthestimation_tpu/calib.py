@@ -53,10 +53,11 @@ def _distort(pts: np.ndarray, dist: np.ndarray) -> np.ndarray:
 
 
 def _undistort_points(pts: np.ndarray, K: np.ndarray, dist: np.ndarray,
-                      iters: int = 10) -> np.ndarray:
+                      iters: int = 5) -> np.ndarray:
     """Invert projection+distortion: pixel points (..., 2) -> normalized
-    undistorted coordinates (fixed-point iteration, like cv2's
-    undistortPoints)."""
+    undistorted coordinates. Fixed-point iteration with cv2's exact
+    default iteration count (undistortPoints runs TermCriteria MAX_ITER=5;
+    verified bit-identical against the oracle in tests/test_rectification)."""
     fx, fy = K[0, 0], K[1, 1]
     cx, cy = K[0, 2], K[1, 2]
     x = (pts[..., 0] - cx) / fx
@@ -76,7 +77,8 @@ def _undistort_points(pts: np.ndarray, K: np.ndarray, dist: np.ndarray,
 def _get_rectangles(K, dist, R, P, image_size, n=9):
     """Inner (inscribed) and outer (bounding) rectangles of the source
     image mapped through rectification — used by the alpha free-scaling
-    logic (OpenCV icvGetRectangles equivalent, sampled on an n x n grid)."""
+    logic (OpenCV icvGetRectangles equivalent: an n x n grid over
+    [0, w-1] x [0, h-1], inferred empirically against the cv2 oracle)."""
     w, h = image_size
     xs = np.linspace(0, w - 1, n)
     ys = np.linspace(0, h - 1, n)
@@ -88,10 +90,10 @@ def _get_rectangles(K, dist, R, P, image_size, n=9):
     proj = dirs[:, :2] / dirs[:, 2:3]
     fx, fy = P[0, 0], P[1, 1]
     cx, cy = P[0, 2], P[1, 2]
-    px = proj[:, 0] * fx + cx
-    py = proj[:, 1] * fy + cy
-    px = px.reshape(n, n)
-    py = py.reshape(n, n)
+    # cv2 stores the mapped grid as float32 (CV_32FC2 in icvGetRectangles);
+    # quantizing here keeps the free-scaling factor bit-compatible.
+    px = (proj[:, 0] * fx + cx).astype(np.float32).reshape(n, n)
+    py = (proj[:, 1] * fy + cy).astype(np.float32).reshape(n, n)
     outer = (px.min(), py.min(), px.max(), py.max())
     inner = (
         px[:, 0].max(), py[0, :].max(), px[:, -1].min(), py[-1, :].min(),
@@ -146,24 +148,24 @@ def stereo_rectify(
     R2 = wR @ r_r
     t = R2 @ T
 
-    # New focal length: min over cameras (fy, shrunk for pincushion).
-    fc_new = np.inf
-    for K, D in ((K1, D1), (K2, D2)):
-        fc = K[1, 1]
-        if len(D) > 0 and D[0] < 0:
-            fc *= 1 + D[0] * (nx * nx + ny * ny) / (4 * fc * fc)
-        fc_new = min(fc_new, fc)
+    # New focal length: the mean of the two fy's (cv2.stereoRectify's
+    # current behavior — no pincushion shrink, verified vs the oracle).
+    fc_new = 0.5 * (K1[1, 1] + K2[1, 1])
 
-    # New principal points from the projected image corners.
+    # New principal points from the projected image corners. cv2 stores
+    # the undistorted corners as float32 (CV_32FC2) before projecting;
+    # quantizing keeps cc bit-compatible with the oracle.
     cc_new = []
     for K, D, Rk in ((K1, D1, R1), (K2, D2, R2)):
         corners = np.array(
             [[0, 0], [nx - 1, 0], [0, ny - 1], [nx - 1, ny - 1]], float
         )
-        und = _undistort_points(corners, K, D)
+        und = _undistort_points(corners, K, D).astype(np.float32).astype(float)
         dirs = np.concatenate([und, np.ones((4, 1))], axis=-1) @ Rk.T
         proj = dirs[:, :2] / dirs[:, 2:3]
-        avg = proj.mean(axis=0) * fc_new
+        # ... and the projected corners too (same CV_32FC2 buffer).
+        px = (proj * fc_new).astype(np.float32).astype(float)
+        avg = px.mean(axis=0)
         cc_new.append(np.array([(nx - 1) / 2, (ny - 1) / 2]) - avg)
 
     if zero_disparity:
@@ -186,27 +188,20 @@ def stereo_rectify(
     P1 = make_P(cc_new[0])
     P2 = make_P(cc_new[1], t)
 
-    # Alpha free-scaling.
+    # Alpha free-scaling: cv2 scales ONLY the focal length around the
+    # principal points (which stay fixed); s0 zooms in until the inner
+    # rectangles fill [0, nx] x [0, ny] (alpha = 0), s1 zooms out until
+    # the outer rectangles fit inside (alpha = 1).
     if alpha >= 0:
+        alpha = min(alpha, 1.0)
         inner1, outer1 = _get_rectangles(K1, D1, R1, P1, image_size)
         inner2, outer2 = _get_rectangles(K2, D2, R2, P2, image_size)
 
-        # s0: zoom in so the inner rectangles fill the image (alpha = 0);
-        # s1: zoom out so the outer rectangles fit inside (alpha = 1).
         def s_for(rect, cc, mode):
             x0, y0, x1, y1 = rect
             cx, cy = cc
-            cands = []
-            for edge, center, limit in (
-                (x0, cx, 0.0), (y0, cy, 0.0),
-                (x1, cx, nx - 1.0), (y1, cy, ny - 1.0),
-            ):
-                denom = edge - center
-                num = limit - center
-                if abs(denom) > 1e-9:
-                    cands.append(num / denom)
-            if not cands:
-                return 1.0
+            cands = [cx / (cx - x0), cy / (cy - y0),
+                     (nx - 1 - cx) / (x1 - cx), (ny - 1 - cy) / (y1 - cy)]
             return max(cands) if mode == "cover" else min(cands)
 
         s0 = max(
@@ -217,17 +212,6 @@ def stereo_rectify(
         )
         s = s0 * (1 - alpha) + s1 * alpha
         fc_new *= s
-        cc_scaled = []
-        for cc in cc_new:
-            cc_scaled.append(
-                np.array(
-                    [
-                        (nx - 1) / 2 + s * (cc[0] - (nx - 1) / 2),
-                        (ny - 1) / 2 + s * (cc[1] - (ny - 1) / 2),
-                    ]
-                )
-            )
-        cc_new = cc_scaled
         P1 = make_P(cc_new[0])
         P2 = make_P(cc_new[1], t)
 

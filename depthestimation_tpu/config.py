@@ -134,6 +134,13 @@ class SGMConfig:
     cost: str = "bt"  # 'bt' (Birchfield-Tomasi, OpenCV-like) or 'census'
     compute_dtype: str = "float32"  # dtype of the aggregated cost volume
     use_pallas: bool = True  # use Pallas kernels on TPU when available
+    # WLS-style edge-preserving refinement + temporal smoothing (BASELINE
+    # north star / config #3; ops/wls.py):
+    wls_filter: bool = False
+    wls_radius: int = 8
+    wls_eps: float = 100.0
+    temporal_alpha: float = 0.0  # 0 disables; else EMA weight of the new frame
+    temporal_max_change: float = 4.0
 
     def __post_init__(self):
         if self.num_disp <= 0 or self.num_disp % 16 != 0:
@@ -275,7 +282,11 @@ class SGMConfig:
         }
 
 
-_TPU_KEYS = frozenset({"cost", "compute_dtype", "use_pallas", "calib"})
+_TPU_KEYS = frozenset({
+    "cost", "compute_dtype", "use_pallas", "calib",
+    "wls_filter", "wls_radius", "wls_eps",
+    "temporal_alpha", "temporal_max_change",
+})
 
 DEFAULT_CONFIG = SGMConfig()
 

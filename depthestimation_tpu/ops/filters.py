@@ -199,6 +199,36 @@ def _masked_nearest_fill(x: jax.Array, hole: jax.Array, iters: int) -> jax.Array
     return jnp.where(hole, filled, x)
 
 
+def _push_pull_fill(x: jax.Array, hole: jax.Array) -> jax.Array:
+    """Pyramid push-pull fill: O(log HW) passes instead of the O(H+W)
+    sequential dilation a naive nearest fill needs — every hole, however
+    large, is seeded from its surrounding valid pixels via a masked
+    mean pyramid (classic pull-push scattered-data interpolation)."""
+    v = jnp.where(hole, 0.0, x).astype(jnp.float32)
+    m = (~hole).astype(jnp.float32)
+
+    def down(v, m):
+        h, w = v.shape
+        v = jnp.pad(v, ((0, h % 2), (0, w % 2)))
+        m = jnp.pad(m, ((0, h % 2), (0, w % 2)))
+        vs = v[0::2, 0::2] + v[1::2, 0::2] + v[0::2, 1::2] + v[1::2, 1::2]
+        ms = m[0::2, 0::2] + m[1::2, 0::2] + m[0::2, 1::2] + m[1::2, 1::2]
+        return vs / jnp.maximum(ms, 1.0), jnp.minimum(ms, 1.0)
+
+    # Push: masked-mean pyramid (static level count from static shapes).
+    pyramid = [(v, m)]
+    while max(pyramid[-1][0].shape) > 1:
+        pyramid.append(down(*pyramid[-1]))
+
+    # Pull: fill each level's holes from the coarser level (nearest up).
+    vc, _ = pyramid[-1]
+    for v_l, m_l in reversed(pyramid[:-1]):
+        h, w = v_l.shape
+        up = jnp.repeat(jnp.repeat(vc, 2, axis=0), 2, axis=1)[:h, :w]
+        vc = jnp.where(m_l > 0, v_l, up)
+    return jnp.where(hole, vc, x)
+
+
 def fill_holes(
     disparity: jax.Array,
     mask: jax.Array | None = None,
@@ -209,9 +239,10 @@ def fill_holes(
     """Fill invalid regions of the disparity map (postprocess.py:72-118).
 
     'inpaint' (Telea fast-marching in the reference) is replaced by
-    nearest-valid seeding followed by masked Jacobi diffusion — smooth
-    fills equivalent under the bad-pixel metric. 'nearest' mirrors the
-    reference's bounded dilate loop (kernel_size iterations).
+    pyramid push-pull seeding followed by masked Jacobi diffusion — smooth
+    fills equivalent under the bad-pixel metric, in O(log HW) passes.
+    'nearest' mirrors the reference's bounded dilate loop (kernel_size
+    iterations).
     """
     d = disparity.astype(jnp.float32)
     if mask is None:
@@ -224,10 +255,9 @@ def fill_holes(
         iters = kernel_size * max(kernel_size // 2, 1)
         return _masked_nearest_fill(d, mask, iters)
 
-    # 'inpaint': seed with a full nearest fill, then smooth the hole
-    # interior with masked Jacobi iterations of the 4-neighbor Laplacian.
-    h, w = d.shape
-    seeded = _masked_nearest_fill(d, mask, iters=(h + w))
+    # 'inpaint': seed with the pyramid fill, then smooth the hole interior
+    # with masked Jacobi iterations of the 4-neighbor Laplacian.
+    seeded = _push_pull_fill(d, mask)
 
     def jacobi(_, f):
         p = jnp.pad(f, 1, mode="edge")

@@ -2,36 +2,62 @@
 
 Replaces the XLA reference implementations in ops/costs.py, ops/sgm.py and
 ops/wta.py on TPU (reference semantics: cv2.StereoSGBM internals,
-stereo_core.py:63-75,231). Same math, kernelized for the VPU and sized for
-the ~16 MB VMEM budget (every block is a (ROWS, XCHUNK, D) tile; scan
-carries live in scratch that persists across grid steps):
+stereo_core.py:63-75,231). The design goal is minimum HBM traffic: every
+volume is int16, every kernel fuses as many scan directions as its data
+order allows, and the WTA reduction is folded into the last sweep so the
+final aggregated volume is never written to memory.
 
-  K1  cost volume: BT pixel cost on prefiltered images + fused
-      block_size^2 SAD box-sum. Per-band inputs are DMA'd from HBM into
-      aligned scratch; the per-disparity right-image shift is a rolling
-      buffer (roll right one lane per d, read a static window). Output is
-      (H, D, W)-ordered, transposed once to the (H, W, D) sweep layout.
-  K2a horizontal forward scan: grid (bands, x-chunks), carry (ROWS, D) in
-      scratch, writes L_fwd.
-  K2b horizontal backward scan: reversed x-chunk index map, writes
-      L_fwd + L_bwd.
-  K3  vertical sweep: grid (x-chunks, bands), carry (XCHUNK, D) in
-      scratch; down and up via a reversed band index map. Pure vertical
-      paths only — diagonal modes ('sgbm'/'hh') currently fall back to
-      the XLA path, whose scans handle carry shifts across full rows.
-  K4  WTA: argmin + OpenCV uniqueness + integer subpixel on the 1/16
-      grid; the OpenCV scatter-min LR check runs outside on the (H, W)
-      maps (ops/wta.lr_invalidate).
+Kernel pipeline (volumes are (Hp, Wp, Dp) with D on lanes; Hp/Wp/Dp are the
+image/disparity sizes padded to band/lane multiples — padding is *exact*,
+see `Padding` below):
 
-Aggregation dtype is int32: int16 would halve bandwidth but its packed
-(16, 128) tiling forbids the single-row middle-dim loads/stores the scans
-make. P1/P2 derivation: stereo_core.py:51-52.
+  K1 cost      grid (row-bands, d-chunks). BT pixel cost on prefiltered
+               images + fused block_size^2 SAD box-sum, computed full-width
+               per disparity with rolling right-image buffers, accumulated
+               in a (ROWS, 128, Wp) VMEM staging buffer and transposed
+               in-VMEM to the (rows, W, D) sweep layout on write. int16 out.
+  K2 hscan     grid (row-bands, x-chunks). Horizontal L->R scan; the
+               R->L scan runs with reversed x-chunk index maps and fuses
+               the accumulate (S_we = L_lr + L_rl). Blocks are staged
+               int16->int32 in VMEM scratch (dynamic sublane slices are
+               only legal on 32-bit tiles).
+  K3 rowsweep  grid (row-bands). Full-width row-sequential scan computing
+               any set of downward (or upward, via reversed index maps)
+               directions in one pass: vertical and both diagonals differ
+               only by a per-row sublane shift of the carry. Fuses the
+               accumulate; optionally fuses K4.
+  K4 WTA       argmin + OpenCV uniqueness + integer subpixel on the 1/16
+               grid, fused into the last rowsweep so the final S volume
+               never exists in HBM. The OpenCV scatter-min LR check runs
+               outside on the (H, W) maps (ops/wta.lr_invalidate).
+
+Mode composition (path sets from ops/sgm._PATHS; modes stereo_core.py:55-61):
+  sgbm_3way: K1 -> K2(fwd) -> K2(bwd+acc) -> K3([N], WTA)
+  hh4:       K1 -> K2 -> K2 -> K3([N]) -> K3([S], WTA)
+  sgbm:      K1 -> K2 -> K2 -> K3([N, NW, NE], WTA)
+  hh:        K1 -> K2 -> K2 -> K3([N, NW, NE]) -> K3([S, SE, SW], WTA)
+
+Padding (all exact, validated by the bit-exactness suite):
+  rows/cols: zero-cost pad rows (bottom) and cols (right). A zero-cost
+    band propagates L = 0 through any scan, so the first real row/col a
+    sweep enters sees exactly the fresh-start (zero) carry the unpadded
+    XLA reference uses.
+  disparities: pad lanes get C_pad = Cmax + 2*P2. Any lane with cost
+    >= Cmax + 2*P2 keeps L_pad >= C_pad >= min-over-real-lanes + (P2 - P1)
+    at every step, so pad lanes never win the running min, never undercut
+    the P2 escape of the last real lane's d+1 neighbor, and never win the
+    WTA argmin or its uniqueness competitor.
+
+Storage dtypes are int16 whenever the worst-case magnitude
+k * (Cmax + 3*P2) (k = number of directions summed into the stored
+tensor) fits; per-direction L always fits int16 for OpenCV's parameter
+range (block_size <= 11, prefilter_cap <= 63). P1/P2: stereo_core.py:51-52.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,38 +67,77 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import costs as xcosts
 
-__all__ = ["sgm_disparity", "pallas_supported"]
+__all__ = ["sgm_disparity", "pallas_supported", "bt_cost_volume_pallas",
+           "hsweep_pallas", "rowsweep_pallas"]
 
-ROWS = 8      # row-band height (cost kernel, vertical sweeps, WTA)
-SROWS = 32    # row-band height for the horizontal scan kernels
-UNROLL = 4    # x positions per horizontal-scan loop iteration
 LANE = 128
+CROWS = 4    # row-band height of the cost kernel
+SR = 32      # row-band height of the horizontal scan kernels
+XC = 128     # x-chunk width of the horizontal scan kernels
+U = 8        # x positions per horizontal-scan loop iteration
 INTERPRET = False  # set True to run kernels in interpreter mode (CPU tests)
+
+_BIG = 2**20
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _cost_bounds(cfg) -> Tuple[int, int]:
+    """(Cmax, C_pad): max real block cost and the pad-lane cost."""
+    cmax = cfg.block_size ** 2 * 2 * cfg.prefilter_cap
+    return cmax, cmax + 2 * cfg.p2
+
+
+def _ldir_bound(cfg) -> int:
+    """Worst-case per-direction aggregated cost (pad lanes included)."""
+    cmax, _ = _cost_bounds(cfg)
+    return cmax + 3 * cfg.p2
+
+
+def _stored_paths(cfg) -> int:
+    """Directions summed into the largest *stored* partial sum: the final
+    pass's sum lives only in WTA registers."""
+    return {3: 2, 4: 3, 5: 2, 8: 5}[cfg.num_paths]
+
+
+def _acc_dtype(cfg):
+    if _stored_paths(cfg) * _ldir_bound(cfg) < 32600:
+        return jnp.int16
+    return jnp.int32
 
 
 def pallas_supported(cfg, shape: Tuple[int, int]) -> bool:
-    if cfg.num_disp % LANE != 0:
+    if cfg.cost != "bt":
         return False
-    if cfg.num_paths not in (3, 4):
-        # Diagonal path modes use the XLA scans (carry shifts cross the
-        # x-chunk boundary).
+    # Per-direction carries / cost volume must fit int16.
+    _, c_pad = _cost_bounds(cfg)
+    if max(_ldir_bound(cfg), c_pad) >= 32600:
+        return False
+    h, w = shape
+    if w <= cfg.num_disp + cfg.min_disp or h < cfg.block_size:
         return False
     return True
 
 
 # ----------------------------------------------------------------------
-# K1: BT cost volume with fused SAD box-sum.
+# K1: BT cost volume with fused SAD box-sum and in-VMEM transpose.
 # ----------------------------------------------------------------------
 
 
 def _cost_kernel(u_hbm, u0_hbm, u1_hbm, v_hbm, v0_hbm, v1_hbm, out_ref,
-                 u_s, u0_s, u1_s, v_s, v0_s, v1_s, sems, *,
-                 d_chunk, min_disp, block_size, pad, w, rows_al, real_h):
+                 u_s, u0_s, u1_s, v_s, v0_s, v1_s, cbuf, sems, *,
+                 d_real, min_disp, block_size, pad, w, wp, rows_al,
+                 real_h, c_pad_val):
     """Grid (bands, d-chunks), d fastest. DMA the band's slabs at chunk 0;
-    the rolling right buffers persist in scratch across d-chunks."""
+    the rolling right buffers persist in scratch across d-chunks. Each
+    d-chunk accumulates 128 full-width cost rows in `cbuf` (rows, 128, Wp)
+    then writes them transposed as the (rows, Wp, 128) output block."""
     r = block_size // 2
     i = pl.program_id(0)
     j = pl.program_id(1)
+    dc = cbuf.shape[1]  # 128
 
     @pl.when(j == 0)
     def _():
@@ -93,92 +158,100 @@ def _cost_kernel(u_hbm, u0_hbm, u1_hbm, v_hbm, v0_hbm, v1_hbm, out_ref,
     u0 = u0_s[:]
     u1 = u1_s[:]
     base = pad - min_disp
-    w_ext = w + 2 * r
+    w_ext = wp + 2 * r
+    rows = cbuf.shape[0]
 
-    def body(dd, _):
-        v = v_s[:, base : base + w_ext]
-        v0 = v0_s[:, base : base + w_ext]
-        v1 = v1_s[:, base : base + w_ext]
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 1)
+    row = i * rows + jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 0)
+    live = col < w
+    if real_h is not None:
+        live = live & (row < real_h)
+
+    def body(k, _):
+        dd = j * dc + k  # global disparity index
+        v = v_s[:, base: base + w_ext]
+        v0 = v0_s[:, base: base + w_ext]
+        v1 = v1_s[:, base: base + w_ext]
         ue = u[:, :w_ext]
         u0e = u0[:, :w_ext]
         u1e = u1[:, :w_ext]
         c0 = jnp.maximum(jnp.maximum(ue - v1, v0 - ue), 0.0)
         c1 = jnp.maximum(jnp.maximum(v - u1e, u0e - v), 0.0)
         pc = jnp.minimum(c0, c1)
-        # Right-edge box taps replicate the last valid cost column (OpenCV
-        # clamps window taps on the cost row).
+        # Cost-row taps right of the last real column replicate it (OpenCV
+        # clamps window taps on the cost row at x = w-1).
         if r > 0:
-            edge = pc[:, w + r - 1 : w + r]
+            edge = pc[:, w + r - 1: w + r]
             pc = jnp.concatenate(
-                [pc[:, : w + r], jnp.broadcast_to(edge, (pc.shape[0], r))],
+                [pc[:, : w + r],
+                 jnp.broadcast_to(edge, (pc.shape[0], w_ext - (w + r)))],
                 axis=1,
             )
-        acc_v = pc[:ROWS, :]
-        for k in range(1, block_size):
-            acc_v = acc_v + pc[k : k + ROWS, :]
-        acc = acc_v[:, :w]
-        for k in range(1, block_size):
-            acc = acc + acc_v[:, k : k + w]
+        acc_v = pc[:rows, :]
+        for k2 in range(1, block_size):
+            acc_v = acc_v + pc[k2: k2 + rows, :]
+        acc = acc_v[:, :wp]
+        for k2 in range(1, block_size):
+            acc = acc + acc_v[:, k2: k2 + wp]
         acc = acc.astype(jnp.int32)
-        if real_h is not None:
-            # Zero the rows beyond the real image: a zero-cost pad row
-            # makes every SGM sweep entering it carry L=0, so the first
-            # real row sees exactly the fresh-start carry the unpadded
-            # XLA reference uses (bit-exact under band padding).
-            row = i * ROWS + jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0)
-            acc = jnp.where(row < real_h, acc, 0)
-        # Output layout (rows, D, W): lanes span W -> middle-dim write.
-        out_ref[:, dd, :] = acc
+        # Zero-cost pad rows/cols keep every sweep's carry at the
+        # fresh-start value the unpadded reference uses; pad disparity
+        # lanes carry C_pad so they never win a min (module docstring).
+        acc = jnp.where(live, acc, 0)
+        acc = jnp.where(dd < d_real, acc, c_pad_val)
+        cbuf[:, k, :] = acc
         # Roll the scratch buffers in place (VMEM->VMEM); keeping them as
         # register-carried loop state explodes compile time.
-        v_s[:] = pltpu.roll(v_s[:], 1, 1)
-        v0_s[:] = pltpu.roll(v0_s[:], 1, 1)
-        v1_s[:] = pltpu.roll(v1_s[:], 1, 1)
+        @pl.when(dd + 1 < d_real)
+        def _():
+            v_s[:] = pltpu.roll(v_s[:], 1, 1)
+            v0_s[:] = pltpu.roll(v0_s[:], 1, 1)
+            v1_s[:] = pltpu.roll(v1_s[:], 1, 1)
         return 0
 
-    jax.lax.fori_loop(0, d_chunk, body, 0)
+    jax.lax.fori_loop(0, dc, body, 0)
+    # (rows, 128, Wp) -> (rows, Wp, 128) in VMEM, 128-lane squares at a
+    # time (Mosaic lowers square sublane<->lane transposes natively).
+    for jw in range(wp // LANE):
+        sl = slice(jw * LANE, (jw + 1) * LANE)
+        out_ref[:, sl, :] = jnp.swapaxes(cbuf[:, :, sl], 1, 2).astype(
+            jnp.int16)
 
 
-def bt_cost_volume_pallas(left, right, cfg, out_h=None):
-    """(H, W) prefilter+BT+SAD -> (H, W, D) int32 cost volume.
+def bt_cost_volume_pallas(left, right, cfg, out_h: Optional[int] = None,
+                          out_w: Optional[int] = None):
+    """(H, W) grayscale pair -> (Hp, Wp, Dp) int16 padded cost volume.
 
-    out_h: pad the output to this many rows (multiple of ROWS); the pad
-    rows are written as zeros so the SGM sweeps entering them carry L=0 —
-    the first real row then sees exactly the fresh-start carry of the
-    unpadded XLA reference (bit-exact band padding). Padding is applied
-    to the *prefiltered* rows here, never to the raw images: replicating
-    a raw row changes its Sobel response and corrupts the bottom r real
-    rows' SAD box sums, whereas replicating prefiltered rows reproduces
-    OpenCV's clamped cost-row taps exactly."""
+    Prefilter + BT + SAD per costs.bt_cost_volume semantics (OpenCV
+    calcPixelCostBT, stereo_core.py:63-75). Hp/Wp/Dp rounded up to
+    band/lane multiples; pad semantics in the module docstring. Padding is
+    applied to the *prefiltered* rows (band_stack pads with edge
+    replication), never to the raw images: replicating a raw row would
+    change its Sobel response and corrupt the bottom r real rows' box sums.
+    """
     h, w = left.shape
-    d_num = cfg.num_disp
+    d_real = cfg.num_disp
+    dp = _round_up(d_real, LANE)
     bs = cfg.block_size
     r = bs // 2
-    pad = cfg.min_disp + d_num
+    pad = cfg.min_disp + d_real
+
+    hp = _round_up(h, 64) if out_h is None else out_h
+    wp = _round_up(w, LANE) if out_w is None else out_w
+    if hp % 64 or hp < h or wp % LANE or wp < w:
+        raise ValueError("bad out_h/out_w")
+    real_h = h if hp > h else None
+    _, c_pad_val = _cost_bounds(cfg)
 
     pl_img = xcosts.xsobel_prefilter(left, cfg.prefilter_cap)
     pr_img = xcosts.xsobel_prefilter(right, cfg.prefilter_cap)
     u0, u1 = xcosts._half_sample_envelope(pl_img)
     v0, v1 = xcosts._half_sample_envelope(pr_img)
 
-    if out_h is None:
-        h_pad = (-h) % ROWS
-        hp = h + h_pad
-        real_h = None
-        ret_h = h
-    else:
-        if out_h % ROWS != 0 or out_h < h:
-            raise ValueError("out_h must be a multiple of ROWS and >= h")
-        hp = out_h
-        h_pad = hp - h
-        real_h = h if h_pad else None
-        ret_h = hp
-    rows_ext = ROWS + 2 * r
-    rows_al = -(-rows_ext // 8) * 8
-    w_l = w + 2 * r
-    w_r = pad + w + 2 * r
-    wl_al = -(-w_l // LANE) * LANE
-    wr_al = -(-w_r // LANE) * LANE
+    rows_ext = CROWS + 2 * r
+    rows_al = _round_up(rows_ext, 8)
+    wl_al = _round_up(wp + 2 * r, LANE)
+    wr_al = _round_up(pad + wp + 2 * r, LANE)
 
     # Slabs are stored pre-banded: band i occupies rows
     # [i*rows_al, (i+1)*rows_al), so the per-band DMA source is a plain
@@ -186,10 +259,11 @@ def bt_cost_volume_pallas(left, right, cfg, out_h=None):
     def band_stack(x, width_al):
         x = jnp.pad(
             x,
-            ((r, r + h_pad + (rows_al - rows_ext)), (0, width_al - x.shape[1])),
+            ((r, r + (hp - h) + (rows_al - rows_ext)),
+             (0, width_al - x.shape[1])),
             mode="edge",
         )
-        bands = [x[i * ROWS : i * ROWS + rows_al] for i in range(hp // ROWS)]
+        bands = [x[i * CROWS: i * CROWS + rows_al] for i in range(hp // CROWS)]
         return jnp.concatenate(bands, axis=0)
 
     def prep_left(x):
@@ -203,23 +277,23 @@ def bt_cost_volume_pallas(left, right, cfg, out_h=None):
     u, u0p, u1p = map(prep_left, (pl_img, u0, u1))
     v, v0p, v1p = map(prep_right, (pr_img, v0, v1))
 
-    d_chunk = min(d_num, 64)
-    grid = (hp // ROWS, d_num // d_chunk)
+    grid = (hp // CROWS, dp // LANE)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_spec = pl.BlockSpec(
-        (ROWS, d_chunk, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        (CROWS, wp, LANE), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
     )
 
     kernel = functools.partial(
-        _cost_kernel, d_chunk=d_chunk, min_disp=cfg.min_disp,
-        block_size=bs, pad=pad, w=w, rows_al=rows_al, real_h=real_h,
+        _cost_kernel, d_real=d_real, min_disp=cfg.min_disp,
+        block_size=bs, pad=pad, w=w, wp=wp, rows_al=rows_al,
+        real_h=real_h, c_pad_val=c_pad_val,
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[any_spec] * 6,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((hp, d_num, w), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((hp, wp, dp), jnp.int16),
         scratch_shapes=[
             pltpu.VMEM((rows_al, wl_al), jnp.float32),
             pltpu.VMEM((rows_al, wl_al), jnp.float32),
@@ -227,6 +301,7 @@ def bt_cost_volume_pallas(left, right, cfg, out_h=None):
             pltpu.VMEM((rows_al, wr_al), jnp.float32),
             pltpu.VMEM((rows_al, wr_al), jnp.float32),
             pltpu.VMEM((rows_al, wr_al), jnp.float32),
+            pltpu.VMEM((CROWS, LANE, wp), jnp.int32),
             pltpu.SemaphoreType.DMA((6,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -234,36 +309,19 @@ def bt_cost_volume_pallas(left, right, cfg, out_h=None):
         ),
         interpret=INTERPRET,
     )(u, u0p, u1p, v, v0p, v1p)
-    # (H, D, W) -> (H, W, D): sweeps/WTA read (., D) planes, D on lanes.
-    return jnp.swapaxes(out, 1, 2)[:ret_h]
 
 
 # ----------------------------------------------------------------------
-# SGM scan step (shared): int32 throughout.
+# SGM scan step (shared): int32 math throughout.
 # ----------------------------------------------------------------------
-
-_BIG = 2**20
-
-def _pick_chunk(w: int, max_chunk: int = 512) -> int:
-    """Largest lane-aligned (multiple-of-128) divisor of w that is
-    <= max_chunk; falls back to the full width when none exists."""
-    best = None
-    for k in range(1, w // LANE + 1):
-        c = k * LANE
-        if w % c == 0 and c <= max_chunk:
-            best = c
-    return best if best is not None else w
-
-
 
 
 def _sgm_step(l_prev, c, p1, p2, big):
     """One SGM recurrence step. l_prev, c: (N, D) int32.
 
-    The d±1 neighbor reads are circular lane rolls with the wrapped lane
+    The d+-1 neighbor reads are circular lane rolls with the wrapped lane
     masked to `big` — Mosaic lowers pltpu.roll natively, whereas a lane
-    concatenate of offset slices fails to compile ("result/input offset
-    mismatch on non-concat dimension")."""
+    concatenate of offset slices fails to compile."""
     d = l_prev.shape[-1]
     min_prev = jnp.min(l_prev, axis=-1, keepdims=True)
     lane = jax.lax.broadcasted_iota(jnp.int32, l_prev.shape, 1)
@@ -275,67 +333,78 @@ def _sgm_step(l_prev, c, p1, p2, big):
 
 
 # ----------------------------------------------------------------------
-# K2: horizontal scans (forward, then backward+accumulate).
+# K2: horizontal scans (forward, then backward fused with the accumulate).
 # ----------------------------------------------------------------------
 
 
-def _hscan_kernel(*refs, p1, p2, chunk, backward, accumulate, unroll):
+def _hscan_kernel(*refs, p1, p2, backward, accumulate, out_dtype):
     if accumulate:
-        c_ref, acc_ref, out_ref, carry = refs
+        c_ref, a_ref, out_ref, c32, a32, o32, carry = refs
     else:
-        c_ref, out_ref, carry = refs
+        c_ref, out_ref, c32, o32, carry = refs
+        a32 = None
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         carry[:] = jnp.zeros_like(carry)
 
-    nit = chunk // unroll
+    # Stage int16 blocks to int32 scratch: dynamic sublane slices are only
+    # legal on 32-bit tiles.
+    c32[:] = c_ref[:].astype(jnp.int32)
+    if accumulate:
+        a32[:] = a_ref[:].astype(jnp.int32)
+
+    nit = XC // U
 
     def body(k, l_prev):
-        # One slab load/store of `unroll` consecutive x positions
-        # amortizes per-step loop and addressing overhead; the recurrence
-        # itself stays strictly sequential.
-        base = (nit - 1 - k) * unroll if backward else k * unroll
-        c_blk = c_ref[:, pl.ds(base, unroll), :]
+        # One slab load/store of U consecutive x positions amortizes
+        # per-step loop and addressing overhead; the recurrence itself
+        # stays strictly sequential.
+        base = (nit - 1 - k) * U if backward else k * U
+        c_blk = c32[:, pl.ds(base, U), :]
         if accumulate:
-            a_blk = acc_ref[:, pl.ds(base, unroll), :]
-        res = [None] * unroll
-        order = range(unroll - 1, -1, -1) if backward else range(unroll)
+            a_blk = a32[:, pl.ds(base, U), :]
+        res = [None] * U
+        order = range(U - 1, -1, -1) if backward else range(U)
         for i in order:
             l_prev = _sgm_step(l_prev, c_blk[:, i, :], p1, p2, _BIG)
             res[i] = (a_blk[:, i, :] + l_prev) if accumulate else l_prev
-        out_ref[:, pl.ds(base, unroll), :] = jnp.stack(res, axis=1)
+        o32[:, pl.ds(base, U), :] = jnp.stack(res, axis=1)
         return l_prev
 
     carry[:] = jax.lax.fori_loop(0, nit, body, carry[:])
+    out_ref[:] = o32[:].astype(out_dtype)
 
 
-def _hscan(cost, acc, p1, p2, backward):
+def hsweep_pallas(cost, acc, p1, p2, backward, out_dtype=jnp.int16):
+    """One horizontal SGM sweep over cost (Hp, Wp, Dp) int16.
+
+    acc=None: returns L (out_dtype). acc given: returns acc + L."""
     h, w, d = cost.shape
-    # VMEM: 3 blocks (c, acc, out) double-buffered -> keep chunks small.
-    chunk = _pick_chunk(w, max_chunk=128)
-    nchunks = w // chunk
-    unroll = UNROLL if chunk % UNROLL == 0 else 1
+    nchunks = w // XC
     if backward:
         index_map = lambda i, j: (i, nchunks - 1 - j, 0)
     else:
         index_map = lambda i, j: (i, j, 0)
-    rows = SROWS if h % SROWS == 0 else ROWS
-    spec = pl.BlockSpec((rows, chunk, d), index_map, memory_space=pltpu.VMEM)
+
+    def spec(dt):
+        return pl.BlockSpec((SR, XC, d), index_map, memory_space=pltpu.VMEM)
 
     ins = [cost] if acc is None else [cost, acc]
     kernel = functools.partial(
-        _hscan_kernel, p1=p1, p2=p2, chunk=chunk, backward=backward,
-        accumulate=acc is not None, unroll=unroll,
+        _hscan_kernel, p1=p1, p2=p2, backward=backward,
+        accumulate=acc is not None, out_dtype=out_dtype,
     )
+    scratch = [pltpu.VMEM((SR, XC, d), jnp.int32)] * (2 + (acc is not None))
+    scratch.append(pltpu.VMEM((SR, d), jnp.int32))
     return pl.pallas_call(
         kernel,
-        grid=(h // rows, nchunks),
-        in_specs=[spec] * len(ins),
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((h, w, d), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((rows, d), jnp.int32)],
+        grid=(h // SR, nchunks),
+        in_specs=[spec(x.dtype) for x in ins],
+        out_specs=spec(out_dtype),
+        out_shape=jax.ShapeDtypeStruct((h, w, d), out_dtype),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -343,78 +412,21 @@ def _hscan(cost, acc, p1, p2, backward):
     )(*ins)
 
 
-def hsweep_pallas(cost, p1, p2):
-    """cost (H, W, D) int32 -> L_left + L_right (H, W, D) int32."""
-    fwd = _hscan(cost, None, p1, p2, backward=False)
-    return _hscan(cost, fwd, p1, p2, backward=True)
-
-
 # ----------------------------------------------------------------------
-# K3: vertical sweeps (down / up) with a persistent column carry.
+# K3 (+K4): full-width row-sequential sweep over any set of downward or
+# upward directions; diagonals are sublane shifts of the carry. Optionally
+# fuses WTA so the final S volume never reaches HBM.
 # ----------------------------------------------------------------------
 
 
-def _vscan_kernel(c_ref, acc_ref, out_ref, carry, *, p1, p2, reverse, rows):
-    i = pl.program_id(1)  # band index (fastest grid dim)
-
-    @pl.when(i == 0)
-    def _():
-        carry[:] = jnp.zeros_like(carry)
-
-    def body(k, l_prev):
-        rr = rows - 1 - k if reverse else k
-        c = c_ref[rr, :, :]
-        l_cur = _sgm_step(l_prev, c, p1, p2, _BIG)
-        out_ref[rr, :, :] = acc_ref[rr, :, :] + l_cur
-        return l_cur
-
-    carry[:] = jax.lax.fori_loop(0, rows, body, carry[:])
-
-
-def vsweep_pallas(cost, acc, p1, p2, reverse=False):
-    """out = acc + L_vertical; (H, W, D) int32 volumes."""
-    h, w, d = cost.shape
-    nbands = h // ROWS
-    chunk = _pick_chunk(w)
-    nchunks = w // chunk
-
-    if reverse:
-        index_map = lambda j, i: (nbands - 1 - i, j, 0)
-    else:
-        index_map = lambda j, i: (i, j, 0)
-    spec = pl.BlockSpec((ROWS, chunk, d), index_map, memory_space=pltpu.VMEM)
-
-    kernel = functools.partial(
-        _vscan_kernel, p1=p1, p2=p2, reverse=reverse, rows=ROWS
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=(nchunks, nbands),
-        in_specs=[spec, spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((h, w, d), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((chunk, d), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        interpret=INTERPRET,
-    )(cost, acc)
-
-
-# ----------------------------------------------------------------------
-# K4: WTA (argmin + uniqueness + integer subpixel); LR check outside.
-# ----------------------------------------------------------------------
-
-
-def _wta_kernel(s_ref, disp_ref, d0_ref, mins_ref, *, num_disp, min_disp,
-                uniq):
-    s = s_ref[:, :, :]  # (ROWS, chunk, D) int32
+def _wta_row(s, *, d_real, min_disp, uniq):
+    """WTA on one aggregated row s (Wp, Dp) int32 -> (disp, d0, min_s)."""
     big = jnp.int32(_BIG)
-
+    dp = s.shape[-1]
     min_s = jnp.min(s, axis=-1)
-    d_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     is_min = s == min_s[..., None]
-    d0 = jnp.min(jnp.where(is_min, d_idx, num_disp), axis=-1)
+    d0 = jnp.min(jnp.where(is_min, d_idx, dp), axis=-1)
 
     cm = jnp.min(jnp.where(d_idx == (d0[..., None] - 1), s, big), axis=-1)
     cp = jnp.min(jnp.where(d_idx == (d0[..., None] + 1), s, big), axis=-1)
@@ -427,48 +439,166 @@ def _wta_kernel(s_ref, disp_ref, d0_ref, mins_ref, *, num_disp, min_disp,
 
     denom = jnp.maximum(cm + cp - 2 * min_s, 1)
     delta16 = jax.lax.div((cm - cp) * 16 + denom, 2 * denom)
-    interior = (d0 > 0) & (d0 < num_disp - 1)
+    interior = (d0 > 0) & (d0 < d_real - 1)
     delta16 = jnp.where(interior, delta16, 0)
     disp16 = (min_disp + d0) * 16 + delta16
     disp = disp16.astype(jnp.float32) / 16.0
-    disp_ref[:, :] = jnp.where(invalid, jnp.float32(min_disp - 1), disp)
+    disp = jnp.where(invalid, jnp.float32(min_disp - 1), disp)
     # LR consistency runs outside on these maps (ops/wta.lr_invalidate);
     # uniqueness-rejected pixels are excluded as claimants via big cost.
-    d0_ref[:, :] = d0
-    mins_ref[:, :] = jnp.where(invalid, big, min_s)
+    return disp, d0, jnp.where(invalid, big, min_s)
 
 
-def wta_pallas(s, cfg):
-    """(H, W, D) int32 aggregated volume -> (disp_nolr, d0, min_s) maps.
+def _pick_wch(wp: int, cap: int = 640) -> int:
+    """Largest lane-aligned divisor of wp that is <= cap."""
+    best = LANE
+    for k in range(1, wp // LANE + 1):
+        c = k * LANE
+        if wp % c == 0 and c <= cap:
+            best = c
+    return best
 
-    disp_nolr carries uniqueness + subpixel; the caller applies the OpenCV
-    scatter-min LR check (ops/wta.lr_invalidate) on the maps."""
-    h, w, d = s.shape
-    chunk = _pick_chunk(w)
-    nchunks = w // chunk
-    spec = pl.BlockSpec((ROWS, chunk, d), lambda i, j: (i, j, 0),
-                        memory_space=pltpu.VMEM)
-    map_spec = pl.BlockSpec((ROWS, chunk), lambda i, j: (i, j),
+
+def _rowsweep_kernel(c_ref, a_ref, *rest, p1, p2, dxs, reverse, rows,
+                     wta, out_dtype, d_real, min_disp, uniq):
+    has_diag = any(dx != 0 for dx in dxs)
+    if wta:
+        disp_ref, d0_ref, mins_ref = rest[:3]
+        scratch = rest[3:]
+    else:
+        out_ref = rest[0]
+        scratch = rest[1:]
+    carry, c_row, a_row = scratch[:3]
+    shifted = scratch[3] if has_diag else None
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry[:] = jnp.zeros_like(carry)
+
+    wp, dp = c_ref.shape[1], c_ref.shape[2]
+    wch = _pick_wch(wp)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (wp, dp), 0)
+
+    # Rows are a static loop (2 or 4); the row itself is staged into int32
+    # scratch (dynamic sublane slices need 32-bit tiles) and processed in
+    # lane-aligned W chunks via fori_loop so WTA temporaries are reused
+    # across chunks instead of spilling a full 1080p row (~20 MB) at once.
+    for k in range(rows):
+        rr = rows - 1 - k if reverse else k
+        c_row[:] = c_ref[rr, :, :].astype(jnp.int32)
+        a_row[:] = a_ref[rr, :, :].astype(jnp.int32)
+        for t, dx in enumerate(dxs):
+            if dx != 0:
+                # Predecessor of (y, x) is (y -/+ 1, x - dx): shift the
+                # carry row along W; the vacated edge column restarts the
+                # path (zero carry == fresh start, as in ops/sgm).
+                # pltpu.roll is circular (and needs shift >= 0), so mask
+                # the wrapped column(s).
+                prev = pltpu.roll(carry[t, :, :], dx % wp, 0)
+                if dx > 0:
+                    prev = jnp.where(sub < dx, 0, prev)
+                else:
+                    prev = jnp.where(sub >= wp + dx, 0, prev)
+                shifted[t, :, :] = prev
+
+        def chunk(j, _):
+            sl = pl.ds(j * wch, wch)
+            c = c_row[sl, :]
+            total = a_row[sl, :]
+            for t, dx in enumerate(dxs):
+                prev = carry[t, sl, :] if dx == 0 else shifted[t, sl, :]
+                l_cur = _sgm_step(prev, c, p1, p2, _BIG)
+                carry[t, sl, :] = l_cur
+                total = total + l_cur
+            if wta:
+                disp, d0, mins = _wta_row(total, d_real=d_real,
+                                          min_disp=min_disp, uniq=uniq)
+                disp_ref[0, j, rr, :] = disp
+                d0_ref[0, j, rr, :] = d0
+                mins_ref[0, j, rr, :] = mins
+            else:
+                a_row[sl, :] = total  # reuse the staging row as out buffer
+            return 0
+
+        jax.lax.fori_loop(0, wp // wch, chunk, 0)
+        if not wta:
+            out_ref[rr, :, :] = a_row[:].astype(out_dtype)
+
+
+def rowsweep_pallas(cost, acc, cfg, dxs: Sequence[int], reverse: bool,
+                    wta: bool, out_dtype=jnp.int16):
+    """acc + sum of row-direction sweeps; dy = +1 (or -1 with reverse).
+
+    dxs lists the column offsets of the propagation directions, e.g.
+    [0] = vertical, [0, 1, -1] = vertical + both diagonals. With wta=True
+    returns (disp_nolr, d0, min_s) maps instead of the volume."""
+    h, w, d = cost.shape
+    # Band height bounded by VMEM: double-buffered in/out blocks plus the
+    # (n_dirs, W, D) int32 carry (and, for diagonals, shifted-carry) scratch.
+    small = max(cost.dtype.itemsize, acc.dtype.itemsize,
+                2 if wta else jnp.dtype(out_dtype).itemsize) <= 2
+    rows = 4 if (small and len(dxs) == 1) else 2
+    nbands = h // rows
+
+    if reverse:
+        index_map = lambda i: (nbands - 1 - i, 0, 0)
+    else:
+        index_map = lambda i: (i, 0, 0)
+    vol_spec = pl.BlockSpec((rows, w, d), index_map, memory_space=pltpu.VMEM)
+    # Map outputs are (nbands, nchunks, rows, wch): the last two dims equal
+    # the array's (always a legal block regardless of sublane tiling), the
+    # chunk index is a plain untiled dim the kernel can write dynamically.
+    wch = _pick_wch(w)
+    nch = w // wch
+    if reverse:
+        map_im = lambda i: (nbands - 1 - i, 0, 0, 0)
+    else:
+        map_im = lambda i: (i, 0, 0, 0)
+    map_spec = pl.BlockSpec((1, nch, rows, wch), map_im,
                             memory_space=pltpu.VMEM)
+
     kernel = functools.partial(
-        _wta_kernel, num_disp=d, min_disp=cfg.min_disp,
+        _rowsweep_kernel, p1=cfg.p1, p2=cfg.p2, dxs=tuple(dxs),
+        reverse=reverse, rows=rows, wta=wta, out_dtype=out_dtype,
+        d_real=cfg.num_disp, min_disp=cfg.min_disp,
         uniq=cfg.uniqueness_ratio,
     )
-    return pl.pallas_call(
+    if wta:
+        out_specs = (map_spec, map_spec, map_spec)
+        out_shape = (
+            jax.ShapeDtypeStruct((nbands, nch, rows, wch), jnp.float32),
+            jax.ShapeDtypeStruct((nbands, nch, rows, wch), jnp.int32),
+            jax.ShapeDtypeStruct((nbands, nch, rows, wch), jnp.int32),
+        )
+    else:
+        out_specs = vol_spec
+        out_shape = jax.ShapeDtypeStruct((h, w, d), out_dtype)
+    scratch = [
+        pltpu.VMEM((len(dxs), w, d), jnp.int32),  # carries
+        pltpu.VMEM((w, d), jnp.int32),            # staged cost row
+        pltpu.VMEM((w, d), jnp.int32),            # staged acc row / out
+    ]
+    if any(dx != 0 for dx in dxs):
+        scratch.append(pltpu.VMEM((len(dxs), w, d), jnp.int32))
+    out = pl.pallas_call(
         kernel,
-        grid=(h // ROWS, nchunks),
-        in_specs=[spec],
-        out_specs=(map_spec, map_spec, map_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((h, w), jnp.float32),
-            jax.ShapeDtypeStruct((h, w), jnp.int32),
-            jax.ShapeDtypeStruct((h, w), jnp.int32),
-        ),
+        grid=(nbands,),
+        in_specs=[vol_spec, vol_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=INTERPRET,
-    )(s)
+    )(cost, acc)
+    if wta:
+        # (nbands, nch, rows, wch) -> (H, W).
+        return tuple(
+            m.transpose(0, 2, 1, 3).reshape(h, w) for m in out
+        )
+    return out
 
 
 # ----------------------------------------------------------------------
@@ -477,30 +607,37 @@ def wta_pallas(s, cfg):
 
 
 def sgm_disparity(left, right, cfg):
-    """Full Pallas matcher (3/4-path modes). Raises NotImplementedError
-    outside kernel support; pipeline.raw_disparity then uses XLA."""
+    """Full Pallas matcher, all four reference modes. Raises
+    NotImplementedError outside kernel support; pipeline.raw_disparity
+    then uses the XLA path."""
     h, w = left.shape
     if not pallas_supported(cfg, (h, w)):
         raise NotImplementedError
 
-    # Pad the cost volume to the horizontal-scan band height; pad rows are
-    # zeros (bt_cost_volume_pallas out_h) so vertical sweeps crossing the
-    # pad stay bit-exact vs the unpadded reference.
-    h_pad = (-h) % SROWS
+    acc_dt = _acc_dtype(cfg)
     c = bt_cost_volume_pallas(
-        left.astype(jnp.float32), right.astype(jnp.float32), cfg,
-        out_h=h + h_pad,
+        left.astype(jnp.float32), right.astype(jnp.float32), cfg
     )
 
     p1, p2 = cfg.p1, cfg.p2
-    acc = hsweep_pallas(c, p1, p2)
-    if cfg.num_paths == 3:
-        s = vsweep_pallas(c, acc, p1, p2, reverse=False)
-    else:  # 4
-        acc = vsweep_pallas(c, acc, p1, p2, reverse=False)
-        s = vsweep_pallas(c, acc, p1, p2, reverse=True)
+    lw = hsweep_pallas(c, None, p1, p2, backward=False, out_dtype=jnp.int16)
+    swe = hsweep_pallas(c, lw, p1, p2, backward=True, out_dtype=acc_dt)
 
-    disp, d0, min_s = wta_pallas(s, cfg)
+    paths = cfg.num_paths
+    if paths == 3:
+        disp, d0, min_s = rowsweep_pallas(c, swe, cfg, [0], False, True)
+    elif paths == 4:
+        s3 = rowsweep_pallas(c, swe, cfg, [0], False, False, out_dtype=acc_dt)
+        disp, d0, min_s = rowsweep_pallas(c, s3, cfg, [0], True, True)
+    elif paths == 5:
+        disp, d0, min_s = rowsweep_pallas(c, swe, cfg, [0, 1, -1], False,
+                                          True)
+    else:  # 8
+        s5 = rowsweep_pallas(c, swe, cfg, [0, 1, -1], False, False,
+                             out_dtype=acc_dt)
+        disp, d0, min_s = rowsweep_pallas(c, s5, cfg, [0, -1, 1], True, True)
+
+    disp, d0, min_s = disp[:h, :w], d0[:h, :w], min_s[:h, :w]
     if cfg.disp12_max_diff >= 0:
         from .wta import lr_invalidate
 
@@ -508,4 +645,4 @@ def sgm_disparity(left, right, cfg):
         bad = lr_invalidate(d0, min_s, valid, cfg.disp12_max_diff,
                             cfg.min_disp, num_disp=cfg.num_disp)
         disp = jnp.where(bad, jnp.float32(cfg.min_disp - 1), disp)
-    return disp[:h]
+    return disp

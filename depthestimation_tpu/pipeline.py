@@ -22,7 +22,7 @@ import numpy as np
 
 from .config import SGMConfig
 from .calib import RectificationCache
-from .ops import color, costs, depth as depth_ops, filters, remap, sgm, wta
+from .ops import color, costs, depth as depth_ops, filters, remap, sgm, wls, wta
 
 __all__ = ["StereoPipeline", "compute_disparity_volume", "stereo_depth_fn"]
 
@@ -37,17 +37,31 @@ def raw_disparity(left, right, cfg: SGMConfig):
     """Full matcher: prefilter/cost/aggregate/WTA. Output float32 (H, W)
     disparity in pixels on the 1/16 grid (the reference's /16 decode of
     int16 fixed point, stereo_core.py:232); invalid = min_disp - 1."""
+    disp = None
     if cfg.use_pallas and jax.default_backend() == "tpu":
         from .ops import pallas_sgm
 
         try:
-            return pallas_sgm.sgm_disparity(left, right, cfg)
+            disp = pallas_sgm.sgm_disparity(left, right, cfg)
         except NotImplementedError:
             pass
-    s = compute_disparity_volume(left, right, cfg)
-    return wta.wta_disparity(
-        s, cfg.min_disp, cfg.uniqueness_ratio, cfg.disp12_max_diff
-    )
+    if disp is None:
+        s = compute_disparity_volume(left, right, cfg)
+        disp = wta.wta_disparity(
+            s, cfg.min_disp, cfg.uniqueness_ratio, cfg.disp12_max_diff
+        )
+    if cfg.speckle_window_size > 0:
+        # cv2.StereoSGBM runs filterSpeckles inside compute() on the x16
+        # fixed-point grid with newVal=(minDisparity-1)*16 and
+        # maxDiff=16*speckleRange (stereo_core.py:22-23,72-73); on the /16
+        # decoded grid that is new_val=min_disp-1, max_diff=speckle_range.
+        disp = filters.filter_speckles(
+            disp,
+            new_val=float(cfg.min_disp - 1),
+            max_speckle_size=cfg.speckle_window_size,
+            max_diff=float(cfg.speckle_range),
+        )
+    return disp
 
 
 def postprocess_and_depth(
@@ -55,9 +69,16 @@ def postprocess_and_depth(
     cfg: SGMConfig,
     downscale_factor: float = 1.0,
     fast_mode: bool = False,
+    guide=None,
+    prev_disp=None,
 ):
     """Crop + postprocess + depth on a raw (uncropped) disparity map
-    (the tail of _process_pair, stereo_core.py:166-196)."""
+    (the tail of _process_pair, stereo_core.py:166-196).
+
+    guide: the rectified left image, enabling the WLS-style refinement
+    (cfg.wls_filter). prev_disp: previous cropped disparity for the
+    temporal smoother (cfg.temporal_alpha > 0, streaming path).
+    """
     # Crop the invalid left band (stereo_core.py:168).
     disp = disp[:, cfg.num_disp :]
 
@@ -73,6 +94,17 @@ def postprocess_and_depth(
             fill_method="inpaint",
             apply_outlier_removal=True,
             apply_hole_filling=cfg.hole_filling,
+        )
+
+    if cfg.wls_filter and guide is not None:
+        disp = wls.wls_refine(
+            disp, guide[:, cfg.num_disp :],
+            radius=cfg.wls_radius, eps=cfg.wls_eps,
+        )
+    if cfg.temporal_alpha > 0 and prev_disp is not None:
+        disp = wls.temporal_smooth(
+            disp, prev_disp, alpha=cfg.temporal_alpha,
+            max_change=cfg.temporal_max_change,
         )
 
     depth_m = None
@@ -95,14 +127,17 @@ def stereo_depth_fn(
     cfg: SGMConfig,
     downscale_factor: float = 1.0,
     fast_mode: bool = False,
+    prev_disp=None,
 ):
     """The jittable per-pair pipeline on a rectified grayscale pair.
 
     Returns (disparity_px, depth_m_or_None); disparity width is
-    W - num_disp after the left-band crop.
+    W - num_disp after the left-band crop. prev_disp (cropped, from the
+    previous frame) enables the temporal smoother on the streaming path.
     """
     disp = raw_disparity(left, right, cfg)
-    return postprocess_and_depth(disp, cfg, downscale_factor, fast_mode)
+    return postprocess_and_depth(disp, cfg, downscale_factor, fast_mode,
+                                 guide=left, prev_disp=prev_disp)
 
 
 class StereoPipeline:
@@ -119,6 +154,7 @@ class StereoPipeline:
         self.fast_mode = fast_mode
         self._rect_cache = RectificationCache()
         self._jit_cache = {}
+        self._prev_disp = None  # temporal-smoother state (device array)
         self.disparity_map = None
         self.depth_map = None
         self.left_rectified = None
@@ -159,15 +195,22 @@ class StereoPipeline:
         return gray_l.astype(jnp.float32), gray_r.astype(jnp.float32)
 
     # -- jit plumbing --
-    def _get_jitted(self, shape):
-        key = (self.cfg, shape, self.fast_mode, self.downscale_factor)
+    def _get_jitted(self, shape, temporal=False):
+        key = (self.cfg, shape, self.fast_mode, self.downscale_factor,
+               temporal)
         fn = self._jit_cache.get(key)
         if fn is None:
             cfg, ds, fm = self.cfg, self.downscale_factor, self.fast_mode
 
-            @jax.jit
-            def run(left, right):
-                return stereo_depth_fn(left, right, cfg, ds, fm)
+            if temporal:
+                @jax.jit
+                def run(left, right, prev_disp):
+                    return stereo_depth_fn(left, right, cfg, ds, fm,
+                                           prev_disp=prev_disp)
+            else:
+                @jax.jit
+                def run(left, right):
+                    return stereo_depth_fn(left, right, cfg, ds, fm)
 
             self._jit_cache[key] = fn = run
         return fn
@@ -200,6 +243,32 @@ class StereoPipeline:
             self._jit_cache[key] = fn = run
         return fn
 
+    def process_pair_async(self, left_rect, right_rect):
+        """Like process_pair, but returns DEVICE arrays without a host
+        sync — the streaming facade dispatches frame N+1 while frame N is
+        still on device (the capture->compute overlap of SURVEY.md 2c).
+
+        Carries the temporal-smoothing state (cfg.temporal_alpha) across
+        calls; reset_temporal() clears it.
+        """
+        left = jnp.asarray(left_rect, jnp.float32)
+        right = jnp.asarray(right_rect, jnp.float32)
+        if "compute_disparity" in self.__dict__:
+            disp = jnp.asarray(self.compute_disparity(left, right), jnp.float32)
+            return self._get_post_jitted(disp.shape)(disp)
+        if self.cfg.temporal_alpha > 0 and self._prev_disp is not None:
+            disp, depth_m = self._get_jitted(left.shape, temporal=True)(
+                left, right, self._prev_disp
+            )
+        else:
+            disp, depth_m = self._get_jitted(left.shape)(left, right)
+        if self.cfg.temporal_alpha > 0:
+            self._prev_disp = disp
+        return disp, depth_m
+
+    def reset_temporal(self):
+        self._prev_disp = None
+
     def process_pair(self, left_rect, right_rect):
         """Full pipeline on an already-rectified pair (_process_pair
         parity, stereo_core.py:162-200).
@@ -210,14 +279,7 @@ class StereoPipeline:
         postprocess/depth tail; otherwise the fully fused jitted pipeline
         runs.
         """
-        left = jnp.asarray(left_rect, jnp.float32)
-        right = jnp.asarray(right_rect, jnp.float32)
-        if "compute_disparity" in self.__dict__:
-            disp = jnp.asarray(self.compute_disparity(left, right), jnp.float32)
-            disp, depth_m = self._get_post_jitted(disp.shape)(disp)
-        else:
-            fn = self._get_jitted(left.shape)
-            disp, depth_m = fn(left, right)
+        disp, depth_m = self.process_pair_async(left_rect, right_rect)
         self.disparity_map = np.asarray(disp)
         self.depth_map = None if depth_m is None else np.asarray(depth_m)
         return self.disparity_map, self.depth_map
@@ -233,3 +295,9 @@ class StereoPipeline:
             left_source, right_source
         )
         return self.process_pair(self.left_rectified, self.right_rectified)
+
+    def estimate_depth_async(self, left_source, right_source):
+        """estimate_depth without the device->host sync: returns device
+        arrays so the caller can overlap the next frame's dispatch."""
+        left_r, right_r = self.prepare_rectified(left_source, right_source)
+        return self.process_pair_async(left_r, right_r)

@@ -1,16 +1,18 @@
-"""Visualization helpers (host-side matplotlib; live views render to numpy).
+"""Host-side visualization (matplotlib static figures + GUI-free live views).
 
-Reference analogue: depthlib/visualizations.py. The matplotlib static plots
-keep the same signatures and semantics (1-99 percentile disparity
-auto-range, visualizations.py:41-45; invalid-mask depth stats,
-visualizations.py:85-106). The live views return the rendered BGR-free RGB
-frame (turbo colormap, gamma 0.5 near-range emphasis, FPS + 50 m cap
-overlay, visualizations.py:184-234) instead of requiring a cv2 GUI —
-callers may display them with any sink; a matplotlib-based imshow window is
-used when show=True.
+Capability parity with depthlib/visualizations.py: the same six entry
+points and the same display *math* users rely on — 1-99 percentile
+disparity auto-range (visualizations.py:41-45), invalid-aware depth stats
+(visualizations.py:85-106), and the live view's 50 m cap with gamma-0.5
+near-range emphasis on a turbo map (visualizations.py:184-234). The
+implementation is organized around shared panel helpers, and live views
+render to plain RGB arrays so they work headless (a matplotlib window is
+attached only when an interactive backend exists).
 """
 
 from __future__ import annotations
+
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -25,77 +27,111 @@ __all__ = [
     "visualize_depth_live_gray",
 ]
 
-DISPLAY_MAX_DEPTH_M = 50.0  # live display cap (visualizations.py:193,221)
+DISPLAY_MAX_DEPTH_M = 50.0  # live-view range cap (visualizations.py:193,221)
 
 
-def visualize_stereo_pair(left_img_rgb, right_img_rgb, title_left="Left Image",
+# ---------------------------------------------------------------------------
+# Shared panel helpers.
+# ---------------------------------------------------------------------------
+
+
+def _finite_positive(a: np.ndarray) -> np.ndarray:
+    return np.isfinite(a) & (a > 0)
+
+
+def _disp_range(disp: np.ndarray) -> Tuple[float, float]:
+    """1-99 percentile range over valid pixels; degenerate-safe."""
+    ok = disp > 0
+    if not ok.any():
+        return 0.0, float(disp.max()) if disp.size else 1.0
+    return float(np.percentile(disp[ok], 1)), float(np.percentile(disp[ok], 99))
+
+
+def _disparity_panel(ax, disp, cmap="jet", vmin=None, vmax=None,
+                     label="Pixels"):
+    import matplotlib.pyplot as plt
+
+    lo, hi = _disp_range(disp)
+    vmin = lo if vmin is None else vmin
+    vmax = hi if vmax is None else vmax
+    im = ax.imshow(disp, cmap=cmap, vmin=vmin, vmax=vmax)
+    ax.axis("off")
+    plt.colorbar(im, ax=ax, fraction=0.046, pad=0.04, label=label)
+    return vmin, vmax
+
+
+def _depth_panel(ax, depth, cmap="turbo_r", cap_pct=99, colorbar=True):
+    """Render depth with invalid pixels pushed to the far end; returns the
+    (min, cap, invalid%) stats used for the title, or None if nothing is
+    displayable."""
+    import matplotlib.pyplot as plt
+
+    ok = _finite_positive(depth)
+    if not ok.any():
+        return None
+    cap = float(np.percentile(depth[ok], cap_pct))
+    shown = np.where(ok, np.clip(depth, 0, cap), cap)
+    im = ax.imshow(shown, cmap=cmap, vmin=0, vmax=cap)
+    ax.axis("off")
+    if colorbar:
+        plt.colorbar(im, ax=ax, fraction=0.046, pad=0.04, label="Meters")
+    return float(depth[ok].min()), cap, float(100.0 * (~ok).mean())
+
+
+# ---------------------------------------------------------------------------
+# Static figures (API parity with the reference's matplotlib plots).
+# ---------------------------------------------------------------------------
+
+
+def visualize_stereo_pair(left_img_rgb, right_img_rgb,
+                          title_left="Left Image",
                           title_right="Right Image"):
-    """Side-by-side pair display (visualizations.py:7-20)."""
+    """Side-by-side input pair."""
     import matplotlib.pyplot as plt
 
     fig, axes = plt.subplots(1, 2, figsize=(12, 5))
-    axes[0].imshow(left_img_rgb, cmap="gray" if np.ndim(left_img_rgb) == 2 else None)
-    axes[0].set_title(title_left)
-    axes[0].axis("off")
-    axes[1].imshow(right_img_rgb, cmap="gray" if np.ndim(right_img_rgb) == 2 else None)
-    axes[1].set_title(title_right)
-    axes[1].axis("off")
+    for ax, img, title in ((axes[0], left_img_rgb, title_left),
+                           (axes[1], right_img_rgb, title_right)):
+        ax.imshow(img, cmap="gray" if np.ndim(img) == 2 else None)
+        ax.set_title(title)
+        ax.axis("off")
     plt.tight_layout()
     plt.show()
 
 
 def visualize_disparity(disparity_px, title="Disparity Map", cmap="jet",
                         vmin=None, vmax=None):
-    """Disparity plot with 1-99 percentile auto-range
-    (visualizations.py:23-55)."""
     import matplotlib.pyplot as plt
 
-    disparity_px = np.asarray(disparity_px)
-    valid = disparity_px > 0
-    if vmin is None:
-        vmin = np.percentile(disparity_px[valid], 1) if valid.any() else 0
-    if vmax is None:
-        vmax = (
-            np.percentile(disparity_px[valid], 99)
-            if valid.any()
-            else disparity_px.max()
-        )
+    disp = np.asarray(disparity_px)
     fig, ax = plt.subplots(figsize=(10, 6))
-    im = ax.imshow(disparity_px, cmap=cmap, vmin=vmin, vmax=vmax)
-    ax.set_title(f"{title}\n(Range: {vmin:.1f} - {vmax:.1f} pixels)")
-    ax.axis("off")
-    cbar = plt.colorbar(im, ax=ax, fraction=0.046, pad=0.04)
-    cbar.set_label("Disparity (pixels)", rotation=270, labelpad=15)
+    lo, hi = _disparity_panel(ax, disp, cmap, vmin, vmax,
+                              label="Disparity (pixels)")
+    ax.set_title(f"{title}\n(Range: {lo:.1f} - {hi:.1f} pixels)")
     plt.tight_layout()
     plt.show()
 
 
-def visualize_depth(depth_m, title="Depth Map", cmap="turbo_r", max_depth=None,
-                    show_invalid=True, show_meter=True):
-    """Depth plot with invalid-region masking and stats
-    (visualizations.py:58-114)."""
+def visualize_depth(depth_m, title="Depth Map", cmap="turbo_r",
+                    max_depth=None, show_invalid=True, show_meter=True):
     import matplotlib.pyplot as plt
 
     if depth_m is None:
-        print("Warning: Depth map is None. Cannot visualize.")
+        print("[viz] no depth map to show (got None)")
         return
-    depth_m = np.asarray(depth_m)
-    valid = np.isfinite(depth_m) & (depth_m > 0)
-    if not valid.any():
-        print("Warning: No valid depth values to display.")
+    depth = np.asarray(depth_m)
+    ok = _finite_positive(depth)
+    if not ok.any():
+        print("[viz] depth map has no finite positive values; skipping plot")
         return
-    if max_depth is None:
-        max_depth = np.percentile(depth_m[valid], 99)
-    display = np.copy(depth_m)
-    display[~valid] = max_depth if show_invalid else 0
-    display = np.clip(display, 0, max_depth)
+    cap = float(np.percentile(depth[ok], 99)) if max_depth is None else max_depth
+    shown = np.where(ok, np.clip(depth, 0, cap), cap if show_invalid else 0)
 
     fig, ax = plt.subplots(figsize=(10, 6))
-    im = ax.imshow(display, cmap=cmap, vmin=0, vmax=max_depth)
-    invalid_pct = 100 * (~valid).sum() / valid.size
+    im = ax.imshow(shown, cmap=cmap, vmin=0, vmax=cap)
     ax.set_title(
-        f"{title}\n(Range: {depth_m[valid].min():.2f} - {max_depth:.2f}m, "
-        f"{invalid_pct:.1f}% invalid/far)"
+        f"{title}\n(Range: {depth[ok].min():.2f} - {cap:.2f}m, "
+        f"{100.0 * (~ok).mean():.1f}% invalid/far)"
     )
     ax.axis("off")
     if show_meter:
@@ -106,10 +142,10 @@ def visualize_depth(depth_m, title="Depth Map", cmap="turbo_r", max_depth=None,
 
 
 def visualize_disparity_and_depth(disparity_px, depth_m, left_img=None):
-    """Combined 2x2 / 1x2 figure (visualizations.py:117-182)."""
+    """Combined figure: optional reference image row + disparity/depth row."""
     import matplotlib.pyplot as plt
 
-    disparity_px = np.asarray(disparity_px)
+    disp = np.asarray(disparity_px)
     if left_img is not None:
         fig, axes = plt.subplots(2, 2, figsize=(14, 10))
         axes = axes.flatten()
@@ -121,99 +157,80 @@ def visualize_disparity_and_depth(disparity_px, depth_m, left_img=None):
     else:
         fig, (disp_ax, depth_ax) = plt.subplots(1, 2, figsize=(14, 5))
 
-    valid_disp = disparity_px > 0
-    vmin = np.percentile(disparity_px[valid_disp], 1) if valid_disp.any() else 0
-    vmax = (
-        np.percentile(disparity_px[valid_disp], 99)
-        if valid_disp.any()
-        else disparity_px.max()
-    )
-    im1 = disp_ax.imshow(disparity_px, cmap="jet", vmin=vmin, vmax=vmax)
-    disp_ax.set_title(f"Disparity Map\n({vmin:.1f} - {vmax:.1f} px)")
-    disp_ax.axis("off")
-    plt.colorbar(im1, ax=disp_ax, fraction=0.046, pad=0.04, label="Pixels")
+    lo, hi = _disparity_panel(disp_ax, disp)
+    disp_ax.set_title(f"Disparity Map\n({lo:.1f} - {hi:.1f} px)")
 
+    stats = None
     if depth_m is not None:
-        depth_m = np.asarray(depth_m)
-        valid = np.isfinite(depth_m) & (depth_m > 0)
-        if valid.any():
-            max_depth = np.percentile(depth_m[valid], 95)
-            display = np.copy(depth_m)
-            display[~valid] = max_depth
-            display = np.clip(display, 0, max_depth)
-            im2 = depth_ax.imshow(display, cmap="turbo_r", vmin=0, vmax=max_depth)
-            invalid_pct = 100 * (~valid).sum() / valid.size
-            depth_ax.set_title(
-                f"Depth Map\n({depth_m[valid].min():.2f} - {max_depth:.2f}m, "
-                f"{invalid_pct:.1f}% invalid)"
-            )
-            depth_ax.axis("off")
-            plt.colorbar(im2, ax=depth_ax, fraction=0.046, pad=0.04, label="Meters")
-        else:
-            depth_ax.text(0.5, 0.5, "No valid depth values", ha="center",
-                          va="center", transform=depth_ax.transAxes)
-            depth_ax.axis("off")
+        stats = _depth_panel(depth_ax, np.asarray(depth_m), cap_pct=95)
+    if stats is not None:
+        dmin, cap, bad_pct = stats
+        depth_ax.set_title(
+            f"Depth Map\n({dmin:.2f} - {cap:.2f}m, {bad_pct:.1f}% invalid)"
+        )
     else:
-        depth_ax.text(0.5, 0.5, "Depth map not available", ha="center",
-                      va="center", transform=depth_ax.transAxes)
+        msg = ("no valid depth values" if depth_m is not None
+               else "depth map not available")
+        depth_ax.text(0.5, 0.5, msg, ha="center", va="center",
+                      transform=depth_ax.transAxes)
         depth_ax.axis("off")
     plt.tight_layout()
     plt.show()
 
 
-def _turbo_colormap(norm_u8: np.ndarray) -> np.ndarray:
-    """Map uint8 values through matplotlib's turbo colormap to RGB uint8."""
-    import matplotlib.cm as cm
-
-    lut = (cm.get_cmap("turbo")(np.arange(256) / 255.0)[:, :3] * 255).astype(np.uint8)
-    return lut[norm_u8]
+# ---------------------------------------------------------------------------
+# Live views: pure array rendering; window attach is optional.
+# ---------------------------------------------------------------------------
 
 
-def render_depth_live(depth_m, fps: float) -> np.ndarray:
-    """Render the live depth view to an RGB uint8 frame
-    (visualize_depth_live semantics, visualizations.py:184-210: 50 m cap,
-    gamma-0.5 near-range emphasis, turbo colormap, nearer = hotter)."""
-    depth_m = np.asarray(depth_m)
-    valid = np.isfinite(depth_m) & (depth_m > 0)
-    if valid.any():
-        clipped = np.clip(depth_m, 0, DISPLAY_MAX_DEPTH_M)
-        clipped[~valid] = DISPLAY_MAX_DEPTH_M
-        ratio = clipped / DISPLAY_MAX_DEPTH_M
-        gamma = np.power(ratio, 0.5)
-        norm = (gamma * 255).astype(np.uint8)
-        frame = _turbo_colormap(255 - norm)
-    else:
-        frame = np.zeros((*depth_m.shape, 3), dtype=np.uint8)
-    return _overlay_text(frame, fps)
+def _live_normalize(depth_m) -> Optional[np.ndarray]:
+    """Depth -> near-is-1 normalized field under the 50 m display cap;
+    None when the frame has nothing valid."""
+    depth = np.asarray(depth_m)
+    ok = _finite_positive(depth)
+    if not ok.any():
+        return None
+    capped = np.where(ok, np.clip(depth, 0, DISPLAY_MAX_DEPTH_M),
+                      DISPLAY_MAX_DEPTH_M)
+    return 1.0 - capped / DISPLAY_MAX_DEPTH_M
 
 
-def render_depth_live_gray(depth_m, fps: float) -> np.ndarray:
-    """Grayscale live view (visualizations.py:212-234)."""
-    depth_m = np.asarray(depth_m)
-    valid = np.isfinite(depth_m) & (depth_m > 0)
-    if valid.any():
-        clipped = np.clip(depth_m, 0, DISPLAY_MAX_DEPTH_M)
-        clipped[~valid] = DISPLAY_MAX_DEPTH_M
-        ratio = clipped / DISPLAY_MAX_DEPTH_M
-        norm = ((1.0 - ratio) * 255).astype(np.uint8)
-        frame = np.stack([norm] * 3, axis=-1)
-    else:
-        frame = np.zeros((*depth_m.shape, 3), dtype=np.uint8)
-    return _overlay_text(frame, fps)
-
-
-def _overlay_text(frame: np.ndarray, fps: float) -> np.ndarray:
-    """Draw the FPS / display-cap overlay as a small banner (text rendering
-    without a GUI toolkit: simple bright banner strip carrying the stats in
-    the returned frame's metadata is overkill; draw with matplotlib-free
-    block digits is unnecessary — a banner strip keeps hot-path cost nil)."""
+def _banner(frame: np.ndarray) -> np.ndarray:
+    # Two bright rows mark live frames (GUI-free stand-in for the
+    # reference's cv2.putText overlay; the window title carries the FPS).
     if frame.shape[0] >= 4:
         frame = frame.copy()
-        frame[:2, :, :] = 255
+        frame[:2] = 255
     return frame
 
 
+def render_depth_live(depth_m, fps: float) -> np.ndarray:
+    """RGB uint8 live view: turbo colormap, nearer = hotter, gamma-0.5
+    emphasis of the near range."""
+    near = _live_normalize(depth_m)
+    if near is None:
+        return np.zeros((*np.shape(depth_m), 3), dtype=np.uint8)
+    import matplotlib.cm as cm
+
+    lut = (cm.get_cmap("turbo")(np.linspace(0, 1, 256))[:, :3] * 255
+           ).astype(np.uint8)
+    # gamma on the *far* ratio, then invert so near is hot.
+    idx = 255 - (np.sqrt(1.0 - near) * 255).astype(np.uint8)
+    return _banner(lut[idx])
+
+
+def render_depth_live_gray(depth_m, fps: float) -> np.ndarray:
+    """Grayscale live view: nearer = brighter, linear."""
+    near = _live_normalize(depth_m)
+    if near is None:
+        return np.zeros((*np.shape(depth_m), 3), dtype=np.uint8)
+    g = (near * 255).astype(np.uint8)
+    return _banner(np.repeat(g[..., None], 3, axis=-1))
+
+
 class _LiveWindow:
+    """Lazily-created interactive window; inert on headless backends."""
+
     _fig = None
     _im = None
 
@@ -222,27 +239,23 @@ class _LiveWindow:
         import matplotlib
 
         if matplotlib.get_backend().lower() == "agg":
-            return  # headless: rendering only
+            return  # headless: callers still get the rendered frame
         import matplotlib.pyplot as plt
 
+        title = f"FPS: {fps:.1f} | cap {DISPLAY_MAX_DEPTH_M:.0f} m"
         if cls._fig is None:
             plt.ion()
             cls._fig, ax = plt.subplots(num="Depth (live)")
             cls._im = ax.imshow(frame)
-            ax.set_title(f"FPS: {fps:.1f} | cap {DISPLAY_MAX_DEPTH_M:.0f} m")
             ax.axis("off")
-        else:
-            cls._im.set_data(frame)
-            cls._fig.axes[0].set_title(
-                f"FPS: {fps:.1f} | cap {DISPLAY_MAX_DEPTH_M:.0f} m"
-            )
+        cls._im.set_data(frame)
+        cls._fig.axes[0].set_title(title)
         cls._fig.canvas.draw_idle()
         cls._fig.canvas.flush_events()
 
 
 def visualize_depth_live(depth_m, fps):
-    """Live depth display (windowed when a GUI backend is available;
-    headless-safe otherwise). Returns the rendered frame."""
+    """Live depth display; headless-safe. Returns the rendered frame."""
     frame = render_depth_live(depth_m, fps)
     _LiveWindow.show(frame, fps)
     return frame

@@ -2,7 +2,8 @@
 
 The TPU kernels (ops/pallas_sgm.py) must be bit-exact against the XLA
 implementations of the same math (ops/costs.py, ops/sgm.py, ops/wta.py)
-on integer-valued images.
+on integer-valued images — including the padded regions' semantics
+(zero-cost pad rows/cols, C_pad disparity lanes; see the module docstring).
 """
 
 import jax.numpy as jnp
@@ -21,55 +22,107 @@ def _interpret_mode():
     pallas_sgm.INTERPRET = old
 
 
-@pytest.fixture(scope="module")
-def pair():
-    rng = np.random.default_rng(0)
-    h, w, d_true = 24, 384, 5
+def make_pair(h, w, d_true=5, seed=0):
+    rng = np.random.default_rng(seed)
     base = rng.integers(0, 255, (h, w + d_true)).astype(np.float32)
     return jnp.asarray(base[:, :w]), jnp.asarray(base[:, d_true:])
 
 
-CFG = SGMConfig(num_disp=128, sgbm_mode="hh4")
+@pytest.fixture(scope="module")
+def pair():
+    return make_pair(24, 384)
+
+
+CFG = SGMConfig(num_disp=128, sgbm_mode="hh4", speckle_window_size=0)
+
+
+def ref_cost(left, right, cfg):
+    return np.round(
+        np.asarray(
+            costs.bt_cost_volume(left, right, cfg.num_disp, cfg.min_disp,
+                                 cfg.block_size, cfg.prefilter_cap)
+        )
+    ).astype(np.int32)
 
 
 def test_cost_volume_exact(pair):
     left, right = pair
-    c_ref = np.asarray(
-        costs.bt_cost_volume(left, right, CFG.num_disp, 0, CFG.block_size,
-                             CFG.prefilter_cap)
-    )
-    c_pal = np.asarray(pallas_sgm.bt_cost_volume_pallas(left, right, CFG))
-    np.testing.assert_array_equal(np.round(c_ref).astype(np.int32), c_pal)
+    h, w = left.shape
+    c_ref = ref_cost(left, right, CFG)
+    c_pal = np.asarray(
+        pallas_sgm.bt_cost_volume_pallas(left, right, CFG)
+    ).astype(np.int32)
+    assert c_pal.shape == (64, 384, 128)  # h padded to 64
+    np.testing.assert_array_equal(c_ref, c_pal[:h, :w, : CFG.num_disp])
+    # Pad rows are zero-cost (fresh-start property for the sweeps).
+    assert (c_pal[h:, :, : CFG.num_disp] == 0).all()
+
+
+def test_cost_volume_pad_lanes_and_cols():
+    """num_disp=48 -> 80 pad lanes at C_pad; w=360 -> 24 zero pad cols."""
+    left, right = make_pair(16, 360)
+    cfg = SGMConfig(num_disp=48, sgbm_mode="hh4", speckle_window_size=0)
+    c_ref = ref_cost(left, right, cfg)
+    c_pal = np.asarray(pallas_sgm.bt_cost_volume_pallas(left, right, cfg))
+    assert c_pal.shape == (64, 384, 128)
+    np.testing.assert_array_equal(c_ref, c_pal[:16, :360, :48])
+    _, c_pad = pallas_sgm._cost_bounds(cfg)
+    assert (c_pal[:16, :360, 48:] == c_pad).all()
+    assert (c_pal[:, 360:, :48] == 0).all()
 
 
 def test_hsweep_exact(pair):
     left, right = pair
-    c = np.round(
-        np.asarray(
-            costs.bt_cost_volume(left, right, CFG.num_disp, 0, CFG.block_size,
-                                 CFG.prefilter_cap)
-        )
+    c_ref = ref_cost(left, right, CFG)
+    a_ref = np.asarray(
+        sgm.aggregate(jnp.asarray(c_ref), CFG.p1, CFG.p2, 2)
+    ).astype(np.int32)
+    c_pal = pallas_sgm.bt_cost_volume_pallas(left, right, CFG)
+    lw = pallas_sgm.hsweep_pallas(c_pal, None, CFG.p1, CFG.p2,
+                                  backward=False)
+    swe = pallas_sgm.hsweep_pallas(c_pal, lw, CFG.p1, CFG.p2, backward=True)
+    h, w = left.shape
+    np.testing.assert_array_equal(
+        a_ref, np.asarray(swe).astype(np.int32)[:h, :w, : CFG.num_disp]
     )
-    a_ref = np.asarray(sgm.aggregate(jnp.asarray(c), CFG.p1, CFG.p2, 2))
-    a_pal = np.asarray(
-        pallas_sgm.hsweep_pallas(jnp.asarray(c.astype(np.int32)), CFG.p1, CFG.p2)
-    )
-    np.testing.assert_array_equal(a_ref.astype(np.int32), a_pal)
 
 
-@pytest.mark.parametrize("mode,paths", [("hh4", 4), ("sgbm_3way", 3)])
-def test_full_matcher_exact(pair, mode, paths):
-    left, right = pair
-    cfg = SGMConfig(num_disp=128, sgbm_mode=mode)
-    c = np.round(
-        np.asarray(
-            costs.bt_cost_volume(left, right, cfg.num_disp, 0, cfg.block_size,
-                                 cfg.prefilter_cap)
-        )
-    )
+@pytest.mark.parametrize(
+    "mode,num_disp,w",
+    [
+        ("hh4", 128, 384),
+        ("sgbm_3way", 128, 384),
+        ("sgbm", 128, 384),
+        ("hh", 128, 384),
+        # Gate-lift cases (VERDICT round 1): non-128 disparity counts
+        # (Middlebury 144) and non-128-aligned widths run on Pallas now.
+        ("hh", 144, 360),
+        ("sgbm", 48, 384),
+    ],
+)
+def test_full_matcher_exact(mode, num_disp, w):
+    left, right = make_pair(24, w, seed=3)
+    cfg = SGMConfig(num_disp=num_disp, sgbm_mode=mode, speckle_window_size=0)
+    assert pallas_sgm.pallas_supported(cfg, left.shape)
+    c = ref_cost(left, right, cfg)
     d_xla = np.asarray(
         wta.wta_disparity(
-            sgm.aggregate(jnp.asarray(c), cfg.p1, cfg.p2, paths),
+            sgm.aggregate(jnp.asarray(c), cfg.p1, cfg.p2, cfg.num_paths),
+            cfg.min_disp, cfg.uniqueness_ratio, cfg.disp12_max_diff,
+        )
+    )
+    d_pal = np.asarray(pallas_sgm.sgm_disparity(left, right, cfg))
+    np.testing.assert_array_equal(d_xla, d_pal)
+
+
+def test_min_disp_nonzero():
+    left, right = make_pair(16, 384, seed=7)
+    cfg = SGMConfig(num_disp=32, min_disp=3, sgbm_mode="sgbm_3way",
+                    speckle_window_size=0)
+    c = ref_cost(left, right, cfg)
+    d_xla = np.asarray(
+        wta.wta_disparity(
+            sgm.aggregate(jnp.asarray(c), cfg.p1, cfg.p2, cfg.num_paths),
             cfg.min_disp, cfg.uniqueness_ratio, cfg.disp12_max_diff,
         )
     )
@@ -78,7 +131,8 @@ def test_full_matcher_exact(pair, mode, paths):
 
 
 def test_unsupported_falls_back():
-    cfg = SGMConfig(num_disp=48)  # not a multiple of 128
-    assert not pallas_sgm.pallas_supported(cfg, (64, 96))
+    cfg = SGMConfig(num_disp=128, cost="census")
+    assert not pallas_sgm.pallas_supported(cfg, (64, 384))
     with pytest.raises(NotImplementedError):
-        pallas_sgm.sgm_disparity(jnp.zeros((16, 64)), jnp.zeros((16, 64)), cfg)
+        pallas_sgm.sgm_disparity(jnp.zeros((16, 384)), jnp.zeros((16, 384)),
+                                 cfg)
