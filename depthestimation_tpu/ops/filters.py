@@ -120,9 +120,19 @@ def filter_speckles(
 
     Implementation: each valid pixel starts with its linear index as label;
     min-label flood fill alternates local 4-neighbor propagation with
-    pointer-jumping (labels <- labels[labels], doubling effective reach),
-    then component sizes come from a scatter-add histogram. num_iters
-    defaults to enough rounds for components of diameter ~2*max_speckle_size.
+    pointer-jumping (labels <- labels[labels]); component sizes come from a
+    scatter-add histogram.
+
+    Exactness does NOT require global convergence. Only components of size
+    <= max_speckle_size may be removed, and any such component has diameter
+    < max_speckle_size, so num_iters defaults to enough LOCAL propagation
+    to fully converge every removable component (pointer jumping is just an
+    accelerator — it only helps along descending-index paths, so e.g. a
+    serpentine's return row converges at the local rate). Larger components
+    may be left with fragmented labels; a fragment is detected exactly by
+    label PURITY — a true component has no connectivity edge joining two
+    different labels — aggregated per label with a scatter-max, and impure
+    labels are never removed (cv2 keeps all big components).
     """
     d = disparity.astype(jnp.float32)
     h, w = d.shape
@@ -137,8 +147,9 @@ def filter_speckles(
             1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w
         ]
 
+    dirs = ((-1, 0), (1, 0), (0, -1), (0, 1))
     same = []
-    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+    for dy, dx in dirs:
         nd = nb(d, dy, dx, jnp.inf)
         nv = nb(valid.astype(jnp.float32), dy, dx, 0.0) > 0.5
         same.append(valid & nv & (jnp.abs(d - nd) <= max_diff))
@@ -147,12 +158,11 @@ def filter_speckles(
         valid, jnp.arange(n, dtype=jnp.float32).reshape(h, w), big
     )
 
-    if num_iters is None:
-        # Local propagation spreads labels ~local_steps per round; pointer
-        # jumping squares reach. ~12 rounds covers any component whose size
-        # can be <= max_speckle_size plus generous margin.
-        num_iters = 12
     local_steps = 4
+    if num_iters is None:
+        # Worst-case removable component: a path of max_speckle_size pixels
+        # whose labels move one step per local iteration.
+        num_iters = max_speckle_size // local_steps + 2
 
     def round_body(_, labels):
         for _ in range(local_steps):
@@ -164,14 +174,25 @@ def filter_speckles(
         return labels
 
     labels = jax.lax.fori_loop(0, num_iters, round_body, labels0)
+    lab_i = jnp.clip(labels.astype(jnp.int32), 0, n)
+    idx = jnp.where(valid, lab_i, n).reshape(-1)
 
-    # Component size histogram via scatter-add; invalid pixels all map to
-    # bin n (dropped).
-    idx = jnp.where(valid, labels, big).astype(jnp.int32).reshape(-1)
-    counts = jnp.zeros(n + 1, dtype=jnp.int32).at[jnp.clip(idx, 0, n)].add(1)
-    comp_size = counts[jnp.clip(labels.astype(jnp.int32), 0, n)]
+    # Component size histogram via scatter-add (invalid -> dropped bin n).
+    counts = jnp.zeros(n + 1, dtype=jnp.int32).at[idx].add(1)
+    comp_size = counts[lab_i]
 
-    speckle = valid & (comp_size <= max_speckle_size)
+    # Purity: a connectivity edge joining two different labels marks BOTH
+    # labels as fragments of an under-converged (hence large) component.
+    mismatch = jnp.zeros((h, w), dtype=jnp.int32)
+    for (dy, dx), s in zip(dirs, same):
+        nl = nb(labels, dy, dx, big)
+        mismatch = mismatch | (s & (nl != labels)).astype(jnp.int32)
+    impure_bins = jnp.zeros(n + 1, dtype=jnp.int32).at[idx].max(
+        mismatch.reshape(-1)
+    )
+    impure = impure_bins[lab_i] > 0
+
+    speckle = valid & (comp_size <= max_speckle_size) & ~impure
     return jnp.where(speckle, jnp.float32(new_val), d)
 
 

@@ -316,14 +316,36 @@ def bt_cost_volume_pallas(left, right, cfg, out_h: Optional[int] = None,
 # ----------------------------------------------------------------------
 
 
-def _sgm_step(l_prev, c, p1, p2, big):
+def _min_lanes(x):
+    """All-lanes minimum broadcast back to every lane, via a log2(D)
+    rotate-and-min tree. Mosaic's native cross-lane jnp.min lowering costs
+    ~20x more than this tree (measured ~7 ms vs ~0.3 ms per 1080p/128-lane
+    volume pass), so every lane reduction in the hot path goes through
+    here. Requires D to be a power of two (Dp always is)."""
+    d = x.shape[-1]
+    k = 1
+    while k < d:
+        x = jnp.minimum(x, pltpu.roll(x, k, x.ndim - 1))
+        k *= 2
+    return x
+
+
+def _sgm_step(l_prev, c, p1, p2, big, tree_min=True):
     """One SGM recurrence step. l_prev, c: (N, D) int32.
 
     The d+-1 neighbor reads are circular lane rolls with the wrapped lane
     masked to `big` — Mosaic lowers pltpu.roll natively, whereas a lane
-    concatenate of offset slices fails to compile."""
+    concatenate of offset slices fails to compile.
+
+    tree_min picks the reduction lowering: the rotate tree wins on big
+    (full-row) tiles where throughput dominates; the native reduction wins
+    inside the latency-bound horizontal scans whose tiny per-step tiles
+    serialize the tree's 7 dependent rolls."""
     d = l_prev.shape[-1]
-    min_prev = jnp.min(l_prev, axis=-1, keepdims=True)
+    if tree_min:
+        min_prev = _min_lanes(l_prev)
+    else:
+        min_prev = jnp.min(l_prev, axis=-1, keepdims=True)
     lane = jax.lax.broadcasted_iota(jnp.int32, l_prev.shape, 1)
     up = jnp.where(lane == d - 1, big, pltpu.roll(l_prev, d - 1, 1))
     dn = jnp.where(lane == 0, big, pltpu.roll(l_prev, 1, 1))
@@ -368,7 +390,8 @@ def _hscan_kernel(*refs, p1, p2, backward, accumulate, out_dtype):
         res = [None] * U
         order = range(U - 1, -1, -1) if backward else range(U)
         for i in order:
-            l_prev = _sgm_step(l_prev, c_blk[:, i, :], p1, p2, _BIG)
+            l_prev = _sgm_step(l_prev, c_blk[:, i, :], p1, p2, _BIG,
+                               tree_min=False)
             res[i] = (a_blk[:, i, :] + l_prev) if accumulate else l_prev
         o32[:, pl.ds(base, U), :] = jnp.stack(res, axis=1)
         return l_prev
@@ -420,21 +443,28 @@ def hsweep_pallas(cost, acc, p1, p2, backward, out_dtype=jnp.int16):
 
 
 def _wta_row(s, *, d_real, min_disp, uniq):
-    """WTA on one aggregated row s (Wp, Dp) int32 -> (disp, d0, min_s)."""
+    """WTA on one aggregated row s (Wp, Dp) int32 -> (disp, d0, min_s),
+    each (Wp,) after the final lane slice.
+
+    All cross-lane reductions are rotate-min trees (_min_lanes); the
+    min + argmin pair comes from ONE packed tree — key = s * Dp + lane,
+    whose minimum simultaneously carries the lowest cost and, among ties,
+    the smallest disparity (OpenCV's tie-break)."""
     big = jnp.int32(_BIG)
     dp = s.shape[-1]
-    min_s = jnp.min(s, axis=-1)
-    d_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    is_min = s == min_s[..., None]
-    d0 = jnp.min(jnp.where(is_min, d_idx, dp), axis=-1)
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
 
-    cm = jnp.min(jnp.where(d_idx == (d0[..., None] - 1), s, big), axis=-1)
-    cp = jnp.min(jnp.where(d_idx == (d0[..., None] + 1), s, big), axis=-1)
+    m = _min_lanes(s * dp + d_idx)
+    min_s = m // dp
+    d0 = m - min_s * dp
+
+    cm = _min_lanes(jnp.where(d_idx == d0 - 1, s, big))
+    cp = _min_lanes(jnp.where(d_idx == d0 + 1, s, big))
 
     invalid = jnp.zeros(d0.shape, dtype=jnp.bool_)
     if uniq > 0:
-        near = jnp.abs(d_idx - d0[..., None]) <= 1
-        competitor = jnp.min(jnp.where(near, big, s), axis=-1)
+        near = jnp.abs(d_idx - d0) <= 1
+        competitor = _min_lanes(jnp.where(near, big, s))
         invalid = competitor * (100 - uniq) < min_s * 100
 
     denom = jnp.maximum(cm + cp - 2 * min_s, 1)
@@ -446,7 +476,8 @@ def _wta_row(s, *, d_real, min_disp, uniq):
     disp = jnp.where(invalid, jnp.float32(min_disp - 1), disp)
     # LR consistency runs outside on these maps (ops/wta.lr_invalidate);
     # uniqueness-rejected pixels are excluded as claimants via big cost.
-    return disp, d0, jnp.where(invalid, big, min_s)
+    min_s = jnp.where(invalid, big, min_s)
+    return disp[..., 0], d0[..., 0], min_s[..., 0]
 
 
 def _pick_wch(wp: int, cap: int = 640) -> int:
@@ -547,8 +578,9 @@ def rowsweep_pallas(cost, acc, cfg, dxs: Sequence[int], reverse: bool,
         index_map = lambda i: (i, 0, 0)
     vol_spec = pl.BlockSpec((rows, w, d), index_map, memory_space=pltpu.VMEM)
     # Map outputs are (nbands, nchunks, rows, wch): the last two dims equal
-    # the array's (always a legal block regardless of sublane tiling), the
-    # chunk index is a plain untiled dim the kernel can write dynamically.
+    # the array's (always a legal block regardless of sublane tiling; wch
+    # stays on lanes — a rows-sized lane dim would be padded to 128 and
+    # blow VMEM), the chunk index is written dynamically by the kernel.
     wch = _pick_wch(w)
     nch = w // wch
     if reverse:

@@ -33,6 +33,7 @@ from ..pipeline import postprocess_and_depth, raw_disparity
 __all__ = [
     "tile_sharded_disparity",
     "disp_sharded_blockmatch",
+    "disp_sharded_sgm",
     "batch_pipeline",
     "DEFAULT_HALO",
 ]
@@ -132,6 +133,154 @@ def disp_sharded_blockmatch(mesh: Mesh, cfg: SGMConfig, axis: str = "model"):
         out_specs=P(),
         # The all_gather+argmin result is replicated over the shard axis,
         # but axis_index-dependent intermediates defeat static inference.
+        check_vma=False,
+    )
+
+
+def _shift_right_replicated(right: jax.Array, d0) -> jax.Array:
+    """right_shifted[x] = right[max(x - d0, 0)] — the edge-replicated column
+    shift that makes a shard's local cost volume BIT-IDENTICAL to lanes
+    [d0, d0 + d_local) of the monolithic volume (costs._shift_right_stack
+    clamps out-of-image samples to column 0; jnp.roll would wrap instead)."""
+    w = right.shape[-1]
+    x = jnp.arange(w)
+    return right[..., jnp.maximum(x - d0, 0)]
+
+
+def disp_sharded_sgm(mesh: Mesh, cfg: SGMConfig, axis: str = "model"):
+    """Disparity-range-sharded FULL SGM matcher (BASELINE config #5; the
+    tensor-parallel axis for volumes too large for one chip's HBM).
+
+    Each device holds D/n lanes of the cost volume and runs the complete
+    pipeline — every SGM path direction, WTA with uniqueness + subpixel,
+    and the LR consistency check — with the lane-coupled terms going
+    through collectives:
+
+      - min_d' L(p-r, d')  ->  local lane min + lax.pmin over the shard axis
+      - L(p-r, d -/+ 1) at shard boundaries -> one-lane lax.ppermute with
+        the ring edges masked to +inf (global d = 0 / D-1 semantics)
+      - WTA min/argmin    ->  packed (cost * D + d) local tree + lax.pmin,
+        preserving OpenCV's smallest-d tie-break globally
+      - cm/cp/competitor  ->  masked local mins + lax.pmin
+
+    The result is bit-identical to the single-device XLA matcher
+    (tests/test_sharding.py::test_disp_sharded_sgm_exact).
+    """
+    n = mesh.shape[axis]
+    assert cfg.num_disp % n == 0, "num_disp must divide the shard axis"
+    d_local = cfg.num_disp // n
+    d_total = cfg.num_disp
+    big = jnp.float32(1e9)
+    bigi = jnp.int32(2**20)
+    p1, p2 = float(cfg.p1), float(cfg.p2)
+
+    fwd = [(i, i + 1) for i in range(n - 1)]   # shard i -> i+1
+    bwd = [(i + 1, i) for i in range(n - 1)]   # shard i+1 -> i
+
+    def sharded_step(l_prev, c):
+        """One SGM recurrence step on the local lane slice (N, d_local)."""
+        shard = jax.lax.axis_index(axis)
+        min_prev = jax.lax.pmin(
+            jnp.min(l_prev, axis=-1, keepdims=True), axis
+        )
+        # d+1 neighbor: local shift; the last lane reads the next shard's
+        # first lane (or +inf on the global last lane).
+        from_next = jax.lax.ppermute(l_prev[..., :1], axis, bwd)
+        from_next = jnp.where(shard == n - 1, big, from_next)
+        up = jnp.concatenate([l_prev[..., 1:], from_next], axis=-1)
+        # d-1 neighbor symmetric.
+        from_prev = jax.lax.ppermute(l_prev[..., -1:], axis, fwd)
+        from_prev = jnp.where(shard == 0, big, from_prev)
+        dn = jnp.concatenate([from_prev, l_prev[..., :-1]], axis=-1)
+        best = jnp.minimum(
+            jnp.minimum(l_prev, jnp.minimum(up, dn) + p1), min_prev + p2
+        )
+        return c + best - min_prev
+
+    def aggregate_dir(cost, dy, dx):
+        step = lambda l, c: (sharded_step(l, c),) * 2
+        if dy == 0:
+            seq = jnp.swapaxes(cost, 0, 1)
+            _, out = jax.lax.scan(step, jnp.zeros_like(seq[0]), seq,
+                                  reverse=(dx < 0))
+            return jnp.swapaxes(out, 0, 1)
+
+        def row_step(l_prev, c_row):
+            return step(sgm._shift_cols(l_prev, dx), c_row)
+
+        _, out = jax.lax.scan(row_step, jnp.zeros_like(cost[0]), cost,
+                              reverse=(dy < 0))
+        return out
+
+    def local_cost(left, right, d0):
+        """Lanes [d0, d0 + d_local) of the monolithic BT cost volume:
+        prefilter + envelopes run on the TRUE image columns first, then the
+        right-side arrays are edge-shifted by the shard offset (shifting
+        the raw image would corrupt the Sobel response at the seam)."""
+        pl_ = costs.xsobel_prefilter(left, cfg.prefilter_cap)
+        pr_ = costs.xsobel_prefilter(right, cfg.prefilter_cap)
+        u0, u1 = costs._half_sample_envelope(pl_)
+        v0, v1 = costs._half_sample_envelope(pr_)
+
+        def stack(arr):
+            return costs._shift_right_stack(
+                _shift_right_replicated(arr, d0), cfg.min_disp, d_local
+            )
+
+        v, v0s, v1s = stack(pr_), stack(v0), stack(v1)
+        u, u0e, u1e = pl_[:, :, None], u0[:, :, None], u1[:, :, None]
+        c0 = jnp.maximum(jnp.maximum(u - v1s, v0s - u), 0.0)
+        c1 = jnp.maximum(jnp.maximum(v - u1e, u0e - v), 0.0)
+        return costs._block_sum(jnp.minimum(c0, c1), cfg.block_size)
+
+    def local_fn(left, right):
+        shard = jax.lax.axis_index(axis)
+        d0 = shard * d_local
+        c = local_cost(left, right, d0).astype(jnp.float32)
+
+        s = jnp.zeros_like(c)
+        for dy, dx in sgm.sgm_directions(cfg.num_paths):
+            s = s + aggregate_dir(c, dy, dx)
+
+        # ---- WTA over the global D axis (ops/wta semantics) ----
+        s_i = jnp.round(s).astype(jnp.int32)
+        d_idx = d0 + jax.lax.broadcasted_iota(jnp.int32, s_i.shape, 2)
+        pack = s_i * d_total + d_idx
+        m = jax.lax.pmin(jnp.min(pack, axis=-1), axis)
+        min_s = m // d_total
+        dsel = m - min_s * d_total
+
+        def masked_min(mask_vals):
+            return jax.lax.pmin(jnp.min(mask_vals, axis=-1), axis)
+
+        cm = masked_min(jnp.where(d_idx == dsel[..., None] - 1, s_i, bigi))
+        cp = masked_min(jnp.where(d_idx == dsel[..., None] + 1, s_i, bigi))
+
+        invalid = jnp.zeros(dsel.shape, dtype=bool)
+        if cfg.uniqueness_ratio > 0:
+            near = jnp.abs(d_idx - dsel[..., None]) <= 1
+            competitor = masked_min(jnp.where(near, bigi, s_i))
+            invalid = competitor * (100 - cfg.uniqueness_ratio) < min_s * 100
+
+        if cfg.disp12_max_diff >= 0:
+            invalid = invalid | wta.lr_invalidate(
+                dsel, min_s, ~invalid, cfg.disp12_max_diff, cfg.min_disp,
+                num_disp=d_total,
+            )
+
+        denom = jnp.maximum(cm + cp - 2 * min_s, 1)
+        delta16 = jax.lax.div((cm - cp) * 16 + denom, 2 * denom)
+        interior = (dsel > 0) & (dsel < d_total - 1)
+        delta16 = jnp.where(interior, delta16, 0)
+        disp = ((cfg.min_disp + dsel) * 16 + delta16).astype(jnp.float32) / 16.0
+        return jnp.where(invalid, jnp.float32(cfg.min_disp - 1), disp)
+
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(),
+        # axis_index-dependent shards defeat static replication inference.
         check_vma=False,
     )
 

@@ -85,6 +85,35 @@ def test_disp_sharded_blockmatch_matches_unsharded():
     assert (d[crop] == d_ref[crop]).mean() > 0.99
 
 
+@pytest.mark.parametrize("mode", ["sgbm_3way", "hh"])
+def test_disp_sharded_sgm_exact(mode):
+    """Full SGM + WTA + LR with the disparity axis sharded over 4 devices
+    must be BIT-IDENTICAL to the single-device matcher (the lane-coupled
+    recurrence terms go through pmin/ppermute — VERDICT round-1 item 10)."""
+    from depthestimation_tpu.ops import sgm, wta
+
+    cfg = SGMConfig(num_disp=32, sgbm_mode=mode, use_pallas=False,
+                    speckle_window_size=0)
+    left, right = _pair(32, 80, d_true=6, seed=4)
+    mesh = make_mesh((1, 1, 4), axis_names=("data", "tile", "model"))
+    fn = jax.jit(pshard.disp_sharded_sgm(mesh, cfg, axis="model"))
+    d = np.asarray(fn(jnp.asarray(left), jnp.asarray(right)))
+
+    from depthestimation_tpu.ops import costs
+
+    c = costs.bt_cost_volume(
+        jnp.asarray(left), jnp.asarray(right), cfg.num_disp, cfg.min_disp,
+        cfg.block_size, cfg.prefilter_cap,
+    )
+    d_ref = np.asarray(
+        wta.wta_disparity(
+            sgm.aggregate(c, cfg.p1, cfg.p2, cfg.num_paths),
+            cfg.min_disp, cfg.uniqueness_ratio, cfg.disp12_max_diff,
+        )
+    )
+    np.testing.assert_array_equal(d, d_ref)
+
+
 def test_halo_exchange_rows_roundtrip():
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
