@@ -11,8 +11,34 @@ from collections import defaultdict
 from typing import Dict, Optional
 
 import jax
+import numpy as np
 
-__all__ = ["StageTimer", "trace", "annotate"]
+__all__ = ["StageTimer", "trace", "annotate", "hard_sync"]
+
+
+def hard_sync(tree):
+    """Device->host barrier that provably waits on every backend.
+
+    On the axon TPU plugin both ``jax.block_until_ready`` and
+    ``jax.effects_barrier`` can return before the device work has finished
+    (measured: a 115 ms matcher call "completed" in 0.07 ms under
+    block_until_ready). The only fence that reliably waits is a
+    device->host copy of the produced buffers, so every timing path in this
+    package syncs through here. Returns the tree unchanged.
+    """
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "__array__"):
+            np.asarray(leaf)
+    return tree
+
+
+class _OutHolder:
+    """Mutable slot a timed block stores its device outputs in."""
+
+    __slots__ = ("out",)
+
+    def __init__(self):
+        self.out = None
 
 
 class StageTimer:
@@ -20,8 +46,8 @@ class StageTimer:
 
     Usage:
         timer = StageTimer()
-        with timer("cost_volume"):
-            out = cost_fn(...)
+        with timer("cost_volume") as t:
+            t.out = cost_fn(...)   # synced via hard_sync before stopping
     """
 
     def __init__(self, sync: bool = True):
@@ -31,11 +57,15 @@ class StageTimer:
 
     @contextlib.contextmanager
     def __call__(self, name: str, out=None):
+        """Times the block. The block should hand its device outputs to the
+        yielded holder (``ctx.out = result``) so the timer can fence on them
+        with a real device->host sync; otherwise only submitted-work wall
+        time is measured (see hard_sync for why softer barriers lie)."""
+        holder = _OutHolder()
         t0 = time.perf_counter()
-        yield
-        if self.sync:
-            # Block on all pending device work so the stage cost is real.
-            jax.effects_barrier()
+        yield holder
+        if self.sync and holder.out is not None:
+            hard_sync(holder.out)
         dt = time.perf_counter() - t0
         self.totals[name] += dt
         self.counts[name] += 1
