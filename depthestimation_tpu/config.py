@@ -192,7 +192,12 @@ class SGMConfig:
                 )
         kw = dict(kwargs)
         if "num_disp" in kw and kw["num_disp"] is not None:
-            kw["num_disp"] = int(kw["num_disp"] * downscale_factor)
+            # Reference truncates (stereo_core.py:112) which can produce a
+            # count OpenCV's own divisible-by-16 rule rejects (280 * 0.5 =
+            # 140); round up to the next multiple of 16 instead (Middlebury
+            # at 0.5 downscale -> 144).
+            scaled = int(kw["num_disp"] * downscale_factor)
+            kw["num_disp"] = max(16, -(-scaled // 16) * 16)
         if "focal_length" in kw and kw["focal_length"] is not None:
             kw["focal_length"] = kw["focal_length"] * downscale_factor
         if "doffs" in kw and kw["doffs"] is not None:

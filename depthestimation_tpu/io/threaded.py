@@ -65,6 +65,11 @@ class StereoInputPipeline:
         self._caps = None
         self.frames_dropped = 0
         self.frames_decoded = 0
+        self.frames_failed = 0  # per-frame error isolation (SURVEY.md 5)
+
+    # Consecutive decode failures tolerated before the stream is declared
+    # dead (guards against spinning forever on a permanently broken source).
+    MAX_CONSECUTIVE_FAILURES = 8
 
     # -- producer ---------------------------------------------------------
     def _decode_pair(self):
@@ -79,16 +84,30 @@ class StereoInputPipeline:
         return fl, fr
 
     def _produce(self):
+        consecutive_failures = 0
         try:
             while not self._quit.is_set():
-                pair = self._decode_pair()
-                if pair is None:
-                    break
-                if self._to_device:
-                    import jax
+                # Per-frame error isolation: a corrupt frame (decode raise
+                # or failed H2D) is counted and skipped; only a clean
+                # end-of-stream or a run of failures ends the stream. The
+                # reference kills the whole stream on any failure
+                # (threaded_stereo.py:58-60).
+                try:
+                    pair = self._decode_pair()
+                    if pair is None:
+                        break
+                    if self._to_device:
+                        import jax
 
-                    pair = tuple(jax.device_put(np.ascontiguousarray(f))
-                                 for f in pair)
+                        pair = tuple(jax.device_put(np.ascontiguousarray(f))
+                                     for f in pair)
+                except Exception:  # noqa: BLE001 — isolate the frame
+                    self.frames_failed += 1
+                    consecutive_failures += 1
+                    if consecutive_failures >= self.MAX_CONSECUTIVE_FAILURES:
+                        break
+                    continue
+                consecutive_failures = 0
                 self.frames_decoded += 1
                 if self._drop:
                     while True:

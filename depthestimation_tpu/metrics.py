@@ -61,6 +61,7 @@ class MetricsAggregator:
         self.window = window
         self._lat: List[float] = []
         self.frames = 0
+        self.frames_failed = 0  # frames skipped by per-frame error isolation
         self.last: Optional[FrameMetrics] = None
         self._t0 = time.time()
 
@@ -70,6 +71,11 @@ class MetricsAggregator:
         self._lat.append(m.latency_ms)
         if len(self._lat) > self.window:
             self._lat.pop(0)
+
+    def record_failure(self):
+        """Count a frame dropped by the streaming runner's error isolation
+        (decode or device failure; the stream itself continues)."""
+        self.frames_failed += 1
 
     @property
     def mean_latency_ms(self) -> float:
@@ -83,6 +89,7 @@ class MetricsAggregator:
     def summary(self) -> dict:
         return {
             "frames": self.frames,
+            "frames_failed": self.frames_failed,
             "mean_latency_ms": round(self.mean_latency_ms, 2),
             "throughput_fps": round(self.throughput_fps, 2),
         }

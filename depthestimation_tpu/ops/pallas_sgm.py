@@ -11,21 +11,27 @@ Kernel pipeline (volumes are (Hp, Wp, Dp) with D on lanes; Hp/Wp/Dp are the
 image/disparity sizes padded to band/lane multiples — padding is *exact*,
 see `Padding` below):
 
-  K1 cost      grid (row-bands, d-chunks). BT pixel cost on prefiltered
-               images + fused block_size^2 SAD box-sum, computed full-width
-               per disparity with rolling right-image buffers, accumulated
-               in a (ROWS, 128, Wp) VMEM staging buffer and transposed
-               in-VMEM to the (rows, W, D) sweep layout on write. int16 out.
+  K1 cost      grid (row-bands, x-chunks), output x-major (Wp, Hp, Dp).
+               BT pixel cost on prefiltered images + fused SAD box-sum:
+               per output column one (rows, Dp) tile is built from a lane
+               slice of each x-reversed right slab (ascending d ==
+               ascending reversed x), y-summed in-tile, and the x window
+               is a ring of block_size y-sums. int16 out; the last r real
+               columns are patched by the XLA reference for OpenCV's
+               cost-row edge replication.
   K2 hscan     grid (row-bands, x-chunks). Horizontal L->R scan; the
                R->L scan runs with reversed x-chunk index maps and fuses
-               the accumulate (S_we = L_lr + L_rl). Blocks are staged
-               int16->int32 in VMEM scratch (dynamic sublane slices are
-               only legal on 32-bit tiles).
+               the accumulate (S_we = L_lr + L_rl). Blocks are tall and
+               narrow — (rows up to full Hp) x HS_XC x Dp — so every
+               sequential scan step is one full-height (rows, Dp) VPU
+               plane; the x loop is statically unrolled (static mid-dim
+               slices work on int16 tiles, unlike dynamic ones).
   K3 rowsweep  grid (row-bands). Full-width row-sequential scan computing
                any set of downward (or upward, via reversed index maps)
                directions in one pass: vertical and both diagonals differ
-               only by a per-row sublane shift of the carry. Fuses the
-               accumulate; optionally fuses K4.
+               only by a per-row sublane shift of the carry. Chunk offsets
+               are static so int16 blocks are sliced directly (no int32
+               staging pass). Fuses the accumulate; optionally fuses K4.
   K4 WTA       argmin + OpenCV uniqueness + integer subpixel on the 1/16
                grid, fused into the last rowsweep so the final S volume
                never exists in HBM. The OpenCV scatter-min LR check runs
@@ -72,12 +78,14 @@ __all__ = ["sgm_disparity", "pallas_supported", "bt_cost_volume_pallas",
 
 LANE = 128
 CROWS = 4    # row-band height of the cost kernel
-SR = 32      # row-band height of the horizontal scan kernels
-XC = 128     # x-chunk width of the horizontal scan kernels
-U = 8        # x positions per horizontal-scan loop iteration
+HS_XC = 16   # x positions per horizontal-scan block (int16 sublane tile)
 INTERPRET = False  # set True to run kernels in interpreter mode (CPU tests)
 
 _BIG = 2**20
+# v5e has 128 MiB of VMEM; Mosaic's default scoped limit is 16 MiB, which
+# is what produced the round-2 Dp=256 OOM. Kernels size their blocks
+# against this budget and pass it as vmem_limit_bytes.
+_VMEM_BUDGET = 100 * 2**20
 
 
 def _round_up(x: int, m: int) -> int:
@@ -122,125 +130,121 @@ def pallas_supported(cfg, shape: Tuple[int, int]) -> bool:
 
 
 # ----------------------------------------------------------------------
-# K1: BT cost volume with fused SAD box-sum and in-VMEM transpose.
+# K1: BT cost volume with fused SAD box-sum, produced x-major (Wp, Hp, Dp)
+# so every store is whole VMEM tiles and the hsweeps consume it directly.
 # ----------------------------------------------------------------------
+
+K1_ROWS = 64  # output rows per band
+# Output columns per grid step. Must be 128: HBM slices feeding the window
+# DMAs need 128-aligned lane offsets/lengths (Mosaic tiled-memref rule),
+# and chunk starts advance in K1_XC steps.
+K1_XC = 128
 
 
 def _cost_kernel(u_hbm, u0_hbm, u1_hbm, v_hbm, v0_hbm, v1_hbm, out_ref,
-                 u_s, u0_s, u1_s, v_s, v0_s, v1_s, cbuf, sems, *,
-                 d_real, min_disp, block_size, pad, w, wp, rows_al,
-                 real_h, c_pad_val):
-    """Grid (bands, d-chunks), d fastest. DMA the band's slabs at chunk 0;
-    the rolling right buffers persist in scratch across d-chunks. Each
-    d-chunk accumulates 128 full-width cost rows in `cbuf` (rows, 128, Wp)
-    then writes them transposed as the (rows, Wp, 128) output block."""
+                 uw, u0w, u1w, vw, v0w, v1w, sems, *,
+                 d_real, dp, min_disp, block_size, w, rows, rows_al,
+                 xc, s_base, h, c_pad_val):
+    """Grid (row-bands, x-chunks). Per chunk, six small windows are DMA'd
+    from HBM at dynamic offsets; every in-window access is then a *static*
+    lane slice. For each output column x the (rows, Dp) cost tile is built
+    from one lane slice per right-image slab — the right slabs are stored
+    x-REVERSED so the D axis of C(x, y, d) = f(right[x - min_disp - d]) is
+    a contiguous, ascending lane range. A ring of block_size y-summed
+    tiles turns the SAD x-window into (bs - 1) adds per column."""
     r = block_size // 2
     i = pl.program_id(0)
     j = pl.program_id(1)
-    dc = cbuf.shape[1]  # 128
+    x0 = j * xc
 
-    @pl.when(j == 0)
-    def _():
-        dmas = []
-        for k, (hbm, vmem) in enumerate(
-            ((u_hbm, u_s), (u0_hbm, u0_s), (u1_hbm, u1_s),
-             (v_hbm, v_s), (v0_hbm, v0_s), (v1_hbm, v1_s))
-        ):
-            dma = pltpu.make_async_copy(
-                hbm.at[pl.ds(i * rows_al, rows_al), :], vmem, sems.at[k]
-            )
-            dma.start()
-            dmas.append(dma)
-        for dma in dmas:
-            dma.wait()
+    # Window DMAs: left windows cover x in [x0 - r, ...) at lane offset x0
+    # (the slabs carry r columns of left edge-padding); right windows cover
+    # every lane slice any column in the chunk needs. All offsets/lengths
+    # are 128-aligned by construction (xc = 128, aligned scratch widths).
+    dmas = []
+    for hbm, vmem, start in (
+        (u_hbm, uw, x0), (u0_hbm, u0w, x0), (u1_hbm, u1w, x0),
+        (v_hbm, vw, s_base - x0), (v0_hbm, v0w, s_base - x0),
+        (v1_hbm, v1w, s_base - x0),
+    ):
+        # multiple_of: s_base is a 128-multiple by construction and
+        # x0 = j*128, but Mosaic cannot prove the difference is aligned.
+        start = pl.multiple_of(start, LANE)
+        dma = pltpu.make_async_copy(
+            hbm.at[pl.ds(i * rows, rows_al), pl.ds(start, vmem.shape[1])],
+            vmem,
+            sems.at[len(dmas)],
+        )
+        dma.start()
+        dmas.append(dma)
+    for dma in dmas:
+        dma.wait()
 
-    u = u_s[:]
-    u0 = u0_s[:]
-    u1 = u1_s[:]
-    base = pad - min_disp
-    w_ext = wp + 2 * r
-    rows = cbuf.shape[0]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (rows, dp), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, dp), 1)
+    live_row = (i * rows + sub) < h
+    pad_lane = lane >= d_real
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 1)
-    row = i * rows + jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 0)
-    live = col < w
-    if real_h is not None:
-        live = live & (row < real_h)
+    def pc_tile(dx):
+        """(rows_al, dp) BT pixel cost for column x0 + dx (dx static)."""
+        # Right-slab lane slice: ascending d = ascending reversed-x.
+        o = (xc - 1 + r) - dx
+        v = vw[:, o: o + dp]
+        v0 = v0w[:, o: o + dp]
+        v1 = v1w[:, o: o + dp]
+        # Left values at x are scalars per row: single-lane broadcasts.
+        ul = uw[:, dx + r: dx + r + 1]
+        u0l = u0w[:, dx + r: dx + r + 1]
+        u1l = u1w[:, dx + r: dx + r + 1]
+        c0 = jnp.maximum(jnp.maximum(ul - v1, v0 - ul), 0.0)
+        c1 = jnp.maximum(jnp.maximum(v - u1l, u0l - v), 0.0)
+        return jnp.minimum(c0, c1)
 
-    def body(k, _):
-        dd = j * dc + k  # global disparity index
-        v = v_s[:, base: base + w_ext]
-        v0 = v0_s[:, base: base + w_ext]
-        v1 = v1_s[:, base: base + w_ext]
-        ue = u[:, :w_ext]
-        u0e = u0[:, :w_ext]
-        u1e = u1[:, :w_ext]
-        c0 = jnp.maximum(jnp.maximum(ue - v1, v0 - ue), 0.0)
-        c1 = jnp.maximum(jnp.maximum(v - u1e, u0e - v), 0.0)
-        pc = jnp.minimum(c0, c1)
-        # Cost-row taps right of the last real column replicate it (OpenCV
-        # clamps window taps on the cost row at x = w-1).
-        if r > 0:
-            edge = pc[:, w + r - 1: w + r]
-            pc = jnp.concatenate(
-                [pc[:, : w + r],
-                 jnp.broadcast_to(edge, (pc.shape[0], w_ext - (w + r)))],
-                axis=1,
-            )
-        acc_v = pc[:rows, :]
+    def ybox(t):
+        acc = t[0:rows, :]
         for k2 in range(1, block_size):
-            acc_v = acc_v + pc[k2: k2 + rows, :]
-        acc = acc_v[:, :wp]
-        for k2 in range(1, block_size):
-            acc = acc + acc_v[:, k2: k2 + wp]
+            acc = acc + t[k2: k2 + rows, :]
+        return acc
+
+    # Ring warm-up: tiles for taps x0 - r .. x0 + r - 1; each loop step
+    # adds the tap at x0 + k + r so the ring holds exactly the bs taps of
+    # output column x0 + k.
+    ring = [ybox(pc_tile(k - r)) for k in range(2 * r)]
+    for k in range(xc):
+        ring.append(ybox(pc_tile(k + r)))
+        acc = ring[0]
+        for t in ring[1:]:
+            acc = acc + t
         acc = acc.astype(jnp.int32)
-        # Zero-cost pad rows/cols keep every sweep's carry at the
-        # fresh-start value the unpadded reference uses; pad disparity
-        # lanes carry C_pad so they never win a min (module docstring).
+        live = live_row & (x0 + k < w)
         acc = jnp.where(live, acc, 0)
-        acc = jnp.where(dd < d_real, acc, c_pad_val)
-        cbuf[:, k, :] = acc
-        # Roll the scratch buffers in place (VMEM->VMEM); keeping them as
-        # register-carried loop state explodes compile time.
-        @pl.when(dd + 1 < d_real)
-        def _():
-            v_s[:] = pltpu.roll(v_s[:], 1, 1)
-            v0_s[:] = pltpu.roll(v0_s[:], 1, 1)
-            v1_s[:] = pltpu.roll(v1_s[:], 1, 1)
-        return 0
-
-    jax.lax.fori_loop(0, dc, body, 0)
-    # (rows, 128, Wp) -> (rows, Wp, 128) in VMEM, 128-lane squares at a
-    # time (Mosaic lowers square sublane<->lane transposes natively).
-    for jw in range(wp // LANE):
-        sl = slice(jw * LANE, (jw + 1) * LANE)
-        out_ref[:, sl, :] = jnp.swapaxes(cbuf[:, :, sl], 1, 2).astype(
-            jnp.int16)
+        acc = jnp.where(pad_lane, c_pad_val, acc)
+        out_ref[k] = acc.astype(jnp.int16)
+        ring.pop(0)
 
 
-def bt_cost_volume_pallas(left, right, cfg, out_h: Optional[int] = None,
-                          out_w: Optional[int] = None):
-    """(H, W) grayscale pair -> (Hp, Wp, Dp) int16 padded cost volume.
+def bt_cost_volume_pallas(left, right, cfg):
+    """(H, W) grayscale pair -> x-major (Wp, Hp, Dp) int16 cost volume.
 
     Prefilter + BT + SAD per costs.bt_cost_volume semantics (OpenCV
     calcPixelCostBT, stereo_core.py:63-75). Hp/Wp/Dp rounded up to
     band/lane multiples; pad semantics in the module docstring. Padding is
-    applied to the *prefiltered* rows (band_stack pads with edge
-    replication), never to the raw images: replicating a raw row would
-    change its Sobel response and corrupt the bottom r real rows' box sums.
-    """
+    applied to the *prefiltered* images (edge replication), never to the
+    raw images: replicating a raw row would change its Sobel response.
+
+    OpenCV replicates the cost row's last real column for SAD taps at
+    x > w-1; rather than branch on the last chunk in the kernel, the final
+    r real columns are recomputed by the XLA reference on a narrow strip
+    and patched in (bit-exact, off the hot path)."""
     h, w = left.shape
     d_real = cfg.num_disp
     dp = _round_up(d_real, LANE)
     bs = cfg.block_size
     r = bs // 2
-    pad = cfg.min_disp + d_real
+    min_disp = cfg.min_disp
 
-    hp = _round_up(h, 64) if out_h is None else out_h
-    wp = _round_up(w, LANE) if out_w is None else out_w
-    if hp % 64 or hp < h or wp % LANE or wp < w:
-        raise ValueError("bad out_h/out_w")
-    real_h = h if hp > h else None
+    hp = _round_up(h, K1_ROWS)
+    wp = _round_up(w, LANE)
     _, c_pad_val = _cost_bounds(cfg)
 
     pl_img = xcosts.xsobel_prefilter(left, cfg.prefilter_cap)
@@ -248,67 +252,80 @@ def bt_cost_volume_pallas(left, right, cfg, out_h: Optional[int] = None,
     u0, u1 = xcosts._half_sample_envelope(pl_img)
     v0, v1 = xcosts._half_sample_envelope(pr_img)
 
-    rows_ext = CROWS + 2 * r
+    rows_ext = K1_ROWS + 2 * r
     rows_al = _round_up(rows_ext, 8)
-    wl_al = _round_up(wp + 2 * r, LANE)
-    wr_al = _round_up(pad + wp + 2 * r, LANE)
+    uwin_al = _round_up(K1_XC + 2 * r, LANE)
+    vwin_al = _round_up(dp + K1_XC + 2 * r, LANE)
+    # Left pad of the right slab: at least min_disp + dp + r (clamps every
+    # v index any tap can produce to column 0) plus slack for the aligned
+    # window length, adjusted so the per-chunk window start
+    # s_base - j*K1_XC is a multiple of 128 (Mosaic DMA alignment).
+    lpad = min_disp + dp + r + LANE
+    lpad += (min_disp - K1_XC - r - lpad) % LANE
+    wl_al = wp + uwin_al
+    wr_al = _round_up(lpad + wp + r + vwin_al, LANE)
+    # Reversed-slab coords: column x's disparity slice sits at in-window
+    # offset (K1_XC - 1 + r) - dx of the window starting at s_base - x0.
+    s_base = wr_al - lpad + min_disp - K1_XC - r
+    assert s_base % LANE == 0
 
-    # Slabs are stored pre-banded: band i occupies rows
-    # [i*rows_al, (i+1)*rows_al), so the per-band DMA source is a plain
-    # sublane-aligned contiguous row range.
-    def band_stack(x, width_al):
-        x = jnp.pad(
-            x,
-            ((r, r + (hp - h) + (rows_al - rows_ext)),
-             (0, width_al - x.shape[1])),
-            mode="edge",
-        )
-        bands = [x[i * CROWS: i * CROWS + rows_al] for i in range(hp // CROWS)]
-        return jnp.concatenate(bands, axis=0)
+    def prep(x, width_al, left_pad):
+        x = jnp.pad(x, ((r, r + (hp - h) + (rows_al - rows_ext)),
+                        (left_pad, width_al - x.shape[1] - left_pad)),
+                    mode="edge")
+        return x
 
-    def prep_left(x):
-        return band_stack(jnp.pad(x, ((0, 0), (r, r)), mode="edge"), wl_al)
+    u, u0p, u1p = (prep(t, wl_al, r) for t in (pl_img, u0, u1))
+    vr, v0r, v1r = (prep(t, wr_al, lpad)[:, ::-1]
+                    for t in (pr_img, v0, v1))
 
-    def prep_right(x):
-        return band_stack(
-            jnp.pad(x, ((0, 0), (pad + r, r)), mode="edge"), wr_al
-        )
-
-    u, u0p, u1p = map(prep_left, (pl_img, u0, u1))
-    v, v0p, v1p = map(prep_right, (pr_img, v0, v1))
-
-    grid = (hp // CROWS, dp // LANE)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_spec = pl.BlockSpec(
-        (CROWS, wp, LANE), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        (K1_XC, K1_ROWS, dp), lambda i, j: (j, i, 0),
+        memory_space=pltpu.VMEM,
     )
-
     kernel = functools.partial(
-        _cost_kernel, d_real=d_real, min_disp=cfg.min_disp,
-        block_size=bs, pad=pad, w=w, wp=wp, rows_al=rows_al,
-        real_h=real_h, c_pad_val=c_pad_val,
+        _cost_kernel, d_real=d_real, dp=dp, min_disp=cfg.min_disp,
+        block_size=bs, w=w, rows=K1_ROWS, rows_al=rows_al, xc=K1_XC,
+        s_base=s_base, h=h, c_pad_val=c_pad_val,
     )
-    return pl.pallas_call(
+    c_t = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(hp // K1_ROWS, wp // K1_XC),
         in_specs=[any_spec] * 6,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((hp, wp, dp), jnp.int16),
+        out_shape=jax.ShapeDtypeStruct((wp, hp, dp), jnp.int16),
         scratch_shapes=[
-            pltpu.VMEM((rows_al, wl_al), jnp.float32),
-            pltpu.VMEM((rows_al, wl_al), jnp.float32),
-            pltpu.VMEM((rows_al, wl_al), jnp.float32),
-            pltpu.VMEM((rows_al, wr_al), jnp.float32),
-            pltpu.VMEM((rows_al, wr_al), jnp.float32),
-            pltpu.VMEM((rows_al, wr_al), jnp.float32),
-            pltpu.VMEM((CROWS, LANE, wp), jnp.int32),
+            pltpu.VMEM((rows_al, uwin_al), jnp.float32),
+            pltpu.VMEM((rows_al, uwin_al), jnp.float32),
+            pltpu.VMEM((rows_al, uwin_al), jnp.float32),
+            pltpu.VMEM((rows_al, vwin_al), jnp.float32),
+            pltpu.VMEM((rows_al, vwin_al), jnp.float32),
+            pltpu.VMEM((rows_al, vwin_al), jnp.float32),
             pltpu.SemaphoreType.DMA((6,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 2**20,
         ),
         interpret=INTERPRET,
-    )(u, u0p, u1p, v, v0p, v1p)
+    )(u, u0p, u1p, vr, v0r, v1r)
+
+    if r > 0:
+        # Patch the last r real columns with the reference's clamped-tap
+        # semantics. The strip starts far enough left that no sliced-edge
+        # Sobel/envelope/v-clamp artifact reaches the patched columns.
+        a = max(0, w - (3 * r + cfg.min_disp + d_real + 8))
+        ref = xcosts.bt_cost_volume(
+            left[:, a:], right[:, a:], d_real, cfg.min_disp, bs,
+            cfg.prefilter_cap,
+        )
+        strip = jnp.round(ref[:, (w - r - a):, :]).astype(jnp.int16)
+        block = jnp.full((r, hp, dp), 0, jnp.int16)
+        block = block.at[:, :, d_real:].set(jnp.int16(c_pad_val))
+        block = block.at[:, :h, :d_real].set(jnp.swapaxes(strip, 0, 1))
+        c_t = c_t.at[w - r: w].set(block)
+    return c_t
 
 
 # ----------------------------------------------------------------------
@@ -321,7 +338,8 @@ def _min_lanes(x):
     rotate-and-min tree. Mosaic's native cross-lane jnp.min lowering costs
     ~20x more than this tree (measured ~7 ms vs ~0.3 ms per 1080p/128-lane
     volume pass), so every lane reduction in the hot path goes through
-    here. Requires D to be a power of two (Dp always is)."""
+    here. Correct for any width: the doubling shifts reach every circular
+    offset in [0, 2^ceil(log2 D)), a superset of all D offsets."""
     d = x.shape[-1]
     k = 1
     while k < d:
@@ -330,26 +348,29 @@ def _min_lanes(x):
     return x
 
 
-def _sgm_step(l_prev, c, p1, p2, big, tree_min=True):
+def _edge_vectors(n, d, p1):
+    """Additive neighbor masks: e_up/e_dn carry P1 plus a _BIG bump on the
+    lane whose circular roll wrapped, so min(up + e_up, dn + e_dn) is the
+    P1-penalized neighbor term with the out-of-range neighbor excluded —
+    one add instead of a where, and the +P1 rides along for free."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, d), 1)
+    e_up = jnp.where(lane == d - 1, _BIG + p1, p1)
+    e_dn = jnp.where(lane == 0, _BIG + p1, p1)
+    return e_up, e_dn
+
+
+def _sgm_step(l_prev, c, p2, e_up, e_dn):
     """One SGM recurrence step. l_prev, c: (N, D) int32.
 
-    The d+-1 neighbor reads are circular lane rolls with the wrapped lane
-    masked to `big` — Mosaic lowers pltpu.roll natively, whereas a lane
-    concatenate of offset slices fails to compile.
-
-    tree_min picks the reduction lowering: the rotate tree wins on big
-    (full-row) tiles where throughput dominates; the native reduction wins
-    inside the latency-bound horizontal scans whose tiny per-step tiles
-    serialize the tree's 7 dependent rolls."""
+    The d+-1 neighbor reads are circular lane rolls; the wrapped lane is
+    excluded via the additive _BIG in e_up/e_dn (values stay < 2**22, no
+    overflow). min_prev is the rotate-and-min lane tree (_min_lanes);
+    Mosaic's native cross-lane jnp.min costs ~20x more."""
     d = l_prev.shape[-1]
-    if tree_min:
-        min_prev = _min_lanes(l_prev)
-    else:
-        min_prev = jnp.min(l_prev, axis=-1, keepdims=True)
-    lane = jax.lax.broadcasted_iota(jnp.int32, l_prev.shape, 1)
-    up = jnp.where(lane == d - 1, big, pltpu.roll(l_prev, d - 1, 1))
-    dn = jnp.where(lane == 0, big, pltpu.roll(l_prev, 1, 1))
-    best = jnp.minimum(jnp.minimum(l_prev, jnp.minimum(up, dn) + p1),
+    min_prev = _min_lanes(l_prev)
+    up = pltpu.roll(l_prev, d - 1, l_prev.ndim - 1) + e_up
+    dn = pltpu.roll(l_prev, 1, l_prev.ndim - 1) + e_dn
+    best = jnp.minimum(jnp.minimum(l_prev, jnp.minimum(up, dn)),
                        min_prev + p2)
     return c + best - min_prev
 
@@ -359,77 +380,85 @@ def _sgm_step(l_prev, c, p1, p2, big, tree_min=True):
 # ----------------------------------------------------------------------
 
 
-def _hscan_kernel(*refs, p1, p2, backward, accumulate, out_dtype):
+def _hscan_kernel(*refs, p1, p2, backward, accumulate, out_dtype, xc):
     if accumulate:
-        c_ref, a_ref, out_ref, c32, a32, o32, carry = refs
+        c_ref, a_ref, out_ref, carry = refs
     else:
-        c_ref, out_ref, c32, o32, carry = refs
-        a32 = None
+        c_ref, out_ref, carry = refs
+        a_ref = None
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         carry[:] = jnp.zeros_like(carry)
 
-    # Stage int16 blocks to int32 scratch: dynamic sublane slices are only
-    # legal on 32-bit tiles.
-    c32[:] = c_ref[:].astype(jnp.int32)
-    if accumulate:
-        a32[:] = a_ref[:].astype(jnp.int32)
+    n, d = c_ref.shape[1], c_ref.shape[2]
+    e_up, e_dn = _edge_vectors(n, d, p1)
 
-    nit = XC // U
-
-    def body(k, l_prev):
-        # One slab load/store of U consecutive x positions amortizes
-        # per-step loop and addressing overhead; the recurrence itself
-        # stays strictly sequential.
-        base = (nit - 1 - k) * U if backward else k * U
-        c_blk = c32[:, pl.ds(base, U), :]
+    # The scan itself: statically unrolled over the block's x positions
+    # (the leading, untiled block axis — each read is whole VMEM tiles),
+    # each step one full-height (rows, Dp) plane. The carry round-trips
+    # VMEM once per block, not once per step.
+    l_prev = carry[:]
+    order = range(xc - 1, -1, -1) if backward else range(xc)
+    for i in order:
+        c = c_ref[i].astype(jnp.int32)
+        l_prev = _sgm_step(l_prev, c, p2, e_up, e_dn)
         if accumulate:
-            a_blk = a32[:, pl.ds(base, U), :]
-        res = [None] * U
-        order = range(U - 1, -1, -1) if backward else range(U)
-        for i in order:
-            l_prev = _sgm_step(l_prev, c_blk[:, i, :], p1, p2, _BIG,
-                               tree_min=False)
-            res[i] = (a_blk[:, i, :] + l_prev) if accumulate else l_prev
-        o32[:, pl.ds(base, U), :] = jnp.stack(res, axis=1)
-        return l_prev
-
-    carry[:] = jax.lax.fori_loop(0, nit, body, carry[:])
-    out_ref[:] = o32[:].astype(out_dtype)
+            o = a_ref[i].astype(jnp.int32) + l_prev
+        else:
+            o = l_prev
+        out_ref[i] = o.astype(out_dtype)
+    carry[:] = l_prev
 
 
-def hsweep_pallas(cost, acc, p1, p2, backward, out_dtype=jnp.int16):
-    """One horizontal SGM sweep over cost (Hp, Wp, Dp) int16.
+def _hs_rows(h, d, dtypes) -> int:
+    """Tallest row-band (divisor of h, multiple of 8) whose double-buffered
+    blocks + carry fit the VMEM budget."""
+    per_row = sum(2 * HS_XC * d * jnp.dtype(t).itemsize for t in dtypes)
+    per_row += d * 4  # carry
+    rows = h
+    while rows > 8 and (rows * per_row > _VMEM_BUDGET or h % rows):
+        rows = _round_up(rows // 2, 8)
+    return rows
 
-    acc=None: returns L (out_dtype). acc given: returns acc + L."""
-    h, w, d = cost.shape
-    nchunks = w // XC
+
+def hsweep_pallas(cost_t, acc_t, p1, p2, backward, out_dtype=jnp.int16):
+    """One horizontal SGM sweep over the TRANSPOSED cost volume.
+
+    Operands and result are x-major: (Wp, Hp, Dp). The scan axis being the
+    leading (untiled) block dimension is what makes every per-step access a
+    whole-tile read/write; in row-major (Hp, Wp, Dp) each step would be a
+    strided sublane gather (measured: ~10x slower and ~20x the compile
+    time). The orchestrator moves between layouts with XLA swapaxes — a
+    strided-DMA copy, no compute.
+
+    acc_t=None: returns L (out_dtype). acc_t given: returns acc_t + L."""
+    w, h, d = cost_t.shape
+    nchunks = w // HS_XC
     if backward:
-        index_map = lambda i, j: (i, nchunks - 1 - j, 0)
+        index_map = lambda i, j: (nchunks - 1 - j, i, 0)
     else:
-        index_map = lambda i, j: (i, j, 0)
+        index_map = lambda i, j: (j, i, 0)
 
-    def spec(dt):
-        return pl.BlockSpec((SR, XC, d), index_map, memory_space=pltpu.VMEM)
+    ins = [cost_t] if acc_t is None else [cost_t, acc_t]
+    rows = _hs_rows(h, d, [x.dtype for x in ins] + [out_dtype])
+    spec = pl.BlockSpec((HS_XC, rows, d), index_map, memory_space=pltpu.VMEM)
 
-    ins = [cost] if acc is None else [cost, acc]
     kernel = functools.partial(
         _hscan_kernel, p1=p1, p2=p2, backward=backward,
-        accumulate=acc is not None, out_dtype=out_dtype,
+        accumulate=acc_t is not None, out_dtype=out_dtype, xc=HS_XC,
     )
-    scratch = [pltpu.VMEM((SR, XC, d), jnp.int32)] * (2 + (acc is not None))
-    scratch.append(pltpu.VMEM((SR, d), jnp.int32))
     return pl.pallas_call(
         kernel,
-        grid=(h // SR, nchunks),
-        in_specs=[spec(x.dtype) for x in ins],
-        out_specs=spec(out_dtype),
-        out_shape=jax.ShapeDtypeStruct((h, w, d), out_dtype),
-        scratch_shapes=scratch,
+        grid=(h // rows, nchunks),
+        in_specs=[spec] * len(ins),
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((w, h, d), out_dtype),
+        scratch_shapes=[pltpu.VMEM((rows, d), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_BUDGET + 16 * 2**20,
         ),
         interpret=INTERPRET,
     )(*ins)
@@ -442,56 +471,97 @@ def hsweep_pallas(cost, acc, p1, p2, backward, out_dtype=jnp.int16):
 # ----------------------------------------------------------------------
 
 
-def _wta_row(s, *, d_real, min_disp, uniq):
-    """WTA on one aggregated row s (Wp, Dp) int32 -> (disp, d0, min_s),
-    each (Wp,) after the final lane slice.
+def _sum_lanes(x):
+    """All-lanes sum broadcast to every lane via a rotate-and-add tree.
+    ONLY correct for power-of-two lane counts (each lane is counted
+    exactly once iff the doubling shifts tile the ring)."""
+    d = x.shape[-1]
+    assert d & (d - 1) == 0
+    k = 1
+    while k < d:
+        x = x + pltpu.roll(x, k, x.ndim - 1)
+        k *= 2
+    return x
 
-    All cross-lane reductions are rotate-min trees (_min_lanes); the
-    min + argmin pair comes from ONE packed tree — key = s * Dp + lane,
-    whose minimum simultaneously carries the lowest cost and, among ties,
-    the smallest disparity (OpenCV's tie-break)."""
+
+def _trunc_div(a, b):
+    """C-style trunc-toward-zero integer division (b > 0), computed as a
+    float divide plus a one-step remainder correction. Mosaic has no
+    vector integer divide — jax.lax.div inside a kernel lowers to a
+    per-element scalar sequence that measured ~40 ms per WTA pass at
+    1080p. Float division is correctly rounded, so the truncated
+    candidate is within 1 of the true quotient; the corrections enforce
+    the exact C remainder contract (0 <= r < b for a >= 0, -b < r <= 0
+    for a < 0). Exact for |a| < 2^24 (f32-exact integers)."""
+    cand = jnp.trunc(a.astype(jnp.float32) / b.astype(jnp.float32))
+    cand = cand.astype(jnp.int32)
+    r = a - cand * b
+    pos = a >= 0
+    cand = cand + jnp.where(pos & (r >= b), 1, 0)
+    cand = cand - jnp.where(pos & (r < 0), 1, 0)
+    cand = cand + jnp.where(~pos & (r > 0), 1, 0)
+    cand = cand - jnp.where(~pos & (r <= -b), 1, 0)
+    return cand
+
+
+def _wta_row(s, *, d_real, min_disp, uniq, s_bound):
+    """WTA on one aggregated row s (Wp, Dp) int32 -> (disp, d0, min_s),
+    each (Wp, 1) — sublane-major, so the caller's map stores are masked
+    single-lane writes instead of a sublane->lane relayout per row.
+
+    Cost structure (everything here was measured on-chip; estimates lied):
+    pack/unpack uses shifts and masks, never int multiply/divide (signed
+    i32 division lowers to a long sequence); the min + argmin pair comes
+    from ONE packed rotate-min tree — key = (s << nb) | lane carries the
+    lowest cost and, among ties, the smallest disparity (OpenCV's
+    tie-break); the d0+-1 neighbor costs come from ONE packed rotate-sum
+    tree ((cm << 16) | cp — exact when the aggregated bound fits 15 bits
+    and Dp is a power of two) or two masked min trees otherwise; N=1 MXU
+    matmuls are avoided entirely (~20 ms each in this kernel)."""
     big = jnp.int32(_BIG)
     dp = s.shape[-1]
+    nb = max(dp - 1, 1).bit_length()  # key bits for the lane index
     d_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
 
-    m = _min_lanes(s * dp + d_idx)
-    min_s = m // dp
-    d0 = m - min_s * dp
+    m = _min_lanes(jnp.bitwise_or(jnp.left_shift(s, nb), d_idx))
+    min_s = jax.lax.shift_right_logical(m, nb)
+    d0 = jnp.bitwise_and(m, (1 << nb) - 1)
 
-    cm = _min_lanes(jnp.where(d_idx == d0 - 1, s, big))
-    cp = _min_lanes(jnp.where(d_idx == d0 + 1, s, big))
+    is_m = d_idx == d0 - 1
+    is_p = d_idx == d0 + 1
+    if s_bound < 2**15 and dp & (dp - 1) == 0:
+        packed = jnp.where(is_m, jnp.left_shift(s, 16), 0) \
+            + jnp.where(is_p, s, 0)
+        t = _sum_lanes(packed)[:, :1]
+        cm = jax.lax.shift_right_logical(t, 16)
+        cp = jnp.bitwise_and(t, (1 << 16) - 1)
+    else:
+        cm = _min_lanes(jnp.where(is_m, s, big))[:, :1]
+        cp = _min_lanes(jnp.where(is_p, s, big))[:, :1]
 
-    invalid = jnp.zeros(d0.shape, dtype=jnp.bool_)
+    min_s1 = min_s[:, :1]
+    d01 = d0[:, :1]
+    invalid = jnp.zeros(d01.shape, dtype=jnp.bool_)
     if uniq > 0:
         near = jnp.abs(d_idx - d0) <= 1
-        competitor = _min_lanes(jnp.where(near, big, s))
-        invalid = competitor * (100 - uniq) < min_s * 100
+        competitor = _min_lanes(jnp.where(near, big, s))[:, :1]
+        invalid = competitor * (100 - uniq) < min_s1 * 100
 
-    denom = jnp.maximum(cm + cp - 2 * min_s, 1)
-    delta16 = jax.lax.div((cm - cp) * 16 + denom, 2 * denom)
-    interior = (d0 > 0) & (d0 < d_real - 1)
+    denom = jnp.maximum(cm + cp - 2 * min_s1, 1)
+    delta16 = _trunc_div((cm - cp) * 16 + denom, 2 * denom)
+    interior = (d01 > 0) & (d01 < d_real - 1)
     delta16 = jnp.where(interior, delta16, 0)
-    disp16 = (min_disp + d0) * 16 + delta16
+    disp16 = (min_disp + d01) * 16 + delta16
     disp = disp16.astype(jnp.float32) / 16.0
     disp = jnp.where(invalid, jnp.float32(min_disp - 1), disp)
     # LR consistency runs outside on these maps (ops/wta.lr_invalidate);
     # uniqueness-rejected pixels are excluded as claimants via big cost.
-    min_s = jnp.where(invalid, big, min_s)
-    return disp[..., 0], d0[..., 0], min_s[..., 0]
-
-
-def _pick_wch(wp: int, cap: int = 640) -> int:
-    """Largest lane-aligned divisor of wp that is <= cap."""
-    best = LANE
-    for k in range(1, wp // LANE + 1):
-        c = k * LANE
-        if wp % c == 0 and c <= cap:
-            best = c
-    return best
+    min_s1 = jnp.where(invalid, big, min_s1)
+    return disp, d01, min_s1
 
 
 def _rowsweep_kernel(c_ref, a_ref, *rest, p1, p2, dxs, reverse, rows,
-                     wta, out_dtype, d_real, min_disp, uniq):
+                     wta, out_dtype, d_real, min_disp, uniq, s_bound):
     has_diag = any(dx != 0 for dx in dxs)
     if wta:
         disp_ref, d0_ref, mins_ref = rest[:3]
@@ -499,8 +569,8 @@ def _rowsweep_kernel(c_ref, a_ref, *rest, p1, p2, dxs, reverse, rows,
     else:
         out_ref = rest[0]
         scratch = rest[1:]
-    carry, c_row, a_row = scratch[:3]
-    shifted = scratch[3] if has_diag else None
+    carry = scratch[0]
+    shifted = scratch[1] if has_diag else None
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -508,24 +578,20 @@ def _rowsweep_kernel(c_ref, a_ref, *rest, p1, p2, dxs, reverse, rows,
         carry[:] = jnp.zeros_like(carry)
 
     wp, dp = c_ref.shape[1], c_ref.shape[2]
-    wch = _pick_wch(wp)
     sub = jax.lax.broadcasted_iota(jnp.int32, (wp, dp), 0)
+    e_up, e_dn = _edge_vectors(wp, dp, p1)
 
-    # Rows are a static loop (2 or 4); the row itself is staged into int32
-    # scratch (dynamic sublane slices need 32-bit tiles) and processed in
-    # lane-aligned W chunks via fori_loop so WTA temporaries are reused
-    # across chunks instead of spilling a full 1080p row (~20 MB) at once.
+    # Rows are a static loop; each row is one full-width (Wp, Dp) step —
+    # int16 blocks are sliced directly with static indices (no staging).
     for k in range(rows):
         rr = rows - 1 - k if reverse else k
-        c_row[:] = c_ref[rr, :, :].astype(jnp.int32)
-        a_row[:] = a_ref[rr, :, :].astype(jnp.int32)
         for t, dx in enumerate(dxs):
             if dx != 0:
                 # Predecessor of (y, x) is (y -/+ 1, x - dx): shift the
                 # carry row along W; the vacated edge column restarts the
                 # path (zero carry == fresh start, as in ops/sgm).
                 # pltpu.roll is circular (and needs shift >= 0), so mask
-                # the wrapped column(s).
+                # the wrapped column(s). Snapshot before any dir updates.
                 prev = pltpu.roll(carry[t, :, :], dx % wp, 0)
                 if dx > 0:
                     prev = jnp.where(sub < dx, 0, prev)
@@ -533,28 +599,38 @@ def _rowsweep_kernel(c_ref, a_ref, *rest, p1, p2, dxs, reverse, rows,
                     prev = jnp.where(sub >= wp + dx, 0, prev)
                 shifted[t, :, :] = prev
 
-        def chunk(j, _):
-            sl = pl.ds(j * wch, wch)
-            c = c_row[sl, :]
-            total = a_row[sl, :]
-            for t, dx in enumerate(dxs):
-                prev = carry[t, sl, :] if dx == 0 else shifted[t, sl, :]
-                l_cur = _sgm_step(prev, c, p1, p2, _BIG)
-                carry[t, sl, :] = l_cur
-                total = total + l_cur
-            if wta:
-                disp, d0, mins = _wta_row(total, d_real=d_real,
-                                          min_disp=min_disp, uniq=uniq)
-                disp_ref[0, j, rr, :] = disp
-                d0_ref[0, j, rr, :] = d0
-                mins_ref[0, j, rr, :] = mins
-            else:
-                a_row[sl, :] = total  # reuse the staging row as out buffer
-            return 0
+        c = c_ref[rr, :, :].astype(jnp.int32)
+        total = a_ref[rr, :, :].astype(jnp.int32)
+        for t, dx in enumerate(dxs):
+            prev = carry[t, :, :] if dx == 0 else shifted[t, :, :]
+            l_cur = _sgm_step(prev, c, p2, e_up, e_dn)
+            carry[t, :, :] = l_cur
+            total = total + l_cur
+        if wta:
+            disp, d0, mins = _wta_row(total, d_real=d_real,
+                                      min_disp=min_disp, uniq=uniq,
+                                      s_bound=s_bound)
+            # Maps are emitted lane-minor (band, W, rows): one masked
+            # single-lane store per row, no sublane->lane relayout.
+            disp_ref[0, :, rr: rr + 1] = disp
+            d0_ref[0, :, rr: rr + 1] = d0
+            mins_ref[0, :, rr: rr + 1] = mins
+        else:
+            out_ref[rr, :, :] = total.astype(out_dtype)
 
-        jax.lax.fori_loop(0, wp // wch, chunk, 0)
-        if not wta:
-            out_ref[rr, :, :] = a_row[:].astype(out_dtype)
+
+def _rs_rows(h, w, d, dtypes, ndirs, has_diag, cap=8) -> int:
+    """Tallest row-band (divisor of h, <= cap) within the VMEM budget,
+    leaving ~24 MB headroom for the step/WTA temporaries Mosaic
+    materializes. The WTA variant caps at 2: its per-row body is large and
+    statically unrolled, and 8 copies of it killed the Mosaic compiler."""
+    fixed = ndirs * w * d * 4 * (2 if has_diag else 1)
+    per_row = sum(2 * w * d * jnp.dtype(t).itemsize for t in dtypes)
+    rows = cap
+    while rows > 1 and (fixed + rows * per_row > _VMEM_BUDGET - 24 * 2**20
+                        or h % rows):
+        rows //= 2
+    return rows
 
 
 def rowsweep_pallas(cost, acc, cfg, dxs: Sequence[int], reverse: bool,
@@ -563,13 +639,12 @@ def rowsweep_pallas(cost, acc, cfg, dxs: Sequence[int], reverse: bool,
 
     dxs lists the column offsets of the propagation directions, e.g.
     [0] = vertical, [0, 1, -1] = vertical + both diagonals. With wta=True
-    returns (disp_nolr, d0, min_s) maps instead of the volume."""
+    returns (disp_nolr, d0, min_s) maps (Hp, Wp) instead of the volume."""
     h, w, d = cost.shape
-    # Band height bounded by VMEM: double-buffered in/out blocks plus the
-    # (n_dirs, W, D) int32 carry (and, for diagonals, shifted-carry) scratch.
-    small = max(cost.dtype.itemsize, acc.dtype.itemsize,
-                2 if wta else jnp.dtype(out_dtype).itemsize) <= 2
-    rows = 4 if (small and len(dxs) == 1) else 2
+    has_diag = any(dx != 0 for dx in dxs)
+    dtypes = [cost.dtype, acc.dtype] + ([] if wta else [out_dtype])
+    rows = _rs_rows(h, w, d, dtypes, len(dxs), has_diag,
+                    cap=4 if wta else 8)
     nbands = h // rows
 
     if reverse:
@@ -577,41 +652,33 @@ def rowsweep_pallas(cost, acc, cfg, dxs: Sequence[int], reverse: bool,
     else:
         index_map = lambda i: (i, 0, 0)
     vol_spec = pl.BlockSpec((rows, w, d), index_map, memory_space=pltpu.VMEM)
-    # Map outputs are (nbands, nchunks, rows, wch): the last two dims equal
-    # the array's (always a legal block regardless of sublane tiling; wch
-    # stays on lanes — a rows-sized lane dim would be padded to 128 and
-    # blow VMEM), the chunk index is written dynamically by the kernel.
-    wch = _pick_wch(w)
-    nch = w // wch
-    if reverse:
-        map_im = lambda i: (nbands - 1 - i, 0, 0, 0)
-    else:
-        map_im = lambda i: (i, 0, 0, 0)
-    map_spec = pl.BlockSpec((1, nch, rows, wch), map_im,
-                            memory_space=pltpu.VMEM)
+    # Maps are produced lane-minor (nbands, w, rows) — WTA results are
+    # sublane-major (W on sublanes), so row stores are masked single-lane
+    # writes; the (w, rows) trailing block dims equal the array's, which
+    # keeps the tiny rows dim legal. Rearranged to (h, w) afterwards.
+    map_spec = pl.BlockSpec((1, w, rows), index_map, memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
         _rowsweep_kernel, p1=cfg.p1, p2=cfg.p2, dxs=tuple(dxs),
         reverse=reverse, rows=rows, wta=wta, out_dtype=out_dtype,
         d_real=cfg.num_disp, min_disp=cfg.min_disp,
         uniq=cfg.uniqueness_ratio,
+        s_bound=cfg.num_paths * _ldir_bound(cfg),
     )
     if wta:
         out_specs = (map_spec, map_spec, map_spec)
         out_shape = (
-            jax.ShapeDtypeStruct((nbands, nch, rows, wch), jnp.float32),
-            jax.ShapeDtypeStruct((nbands, nch, rows, wch), jnp.int32),
-            jax.ShapeDtypeStruct((nbands, nch, rows, wch), jnp.int32),
+            jax.ShapeDtypeStruct((nbands, w, rows), jnp.float32),
+            jax.ShapeDtypeStruct((nbands, w, rows), jnp.int32),
+            jax.ShapeDtypeStruct((nbands, w, rows), jnp.int32),
         )
     else:
         out_specs = vol_spec
         out_shape = jax.ShapeDtypeStruct((h, w, d), out_dtype)
     scratch = [
         pltpu.VMEM((len(dxs), w, d), jnp.int32),  # carries
-        pltpu.VMEM((w, d), jnp.int32),            # staged cost row
-        pltpu.VMEM((w, d), jnp.int32),            # staged acc row / out
     ]
-    if any(dx != 0 for dx in dxs):
+    if has_diag:
         scratch.append(pltpu.VMEM((len(dxs), w, d), jnp.int32))
     out = pl.pallas_call(
         kernel,
@@ -622,14 +689,13 @@ def rowsweep_pallas(cost, acc, cfg, dxs: Sequence[int], reverse: bool,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_BUDGET + 16 * 2**20,
         ),
         interpret=INTERPRET,
     )(cost, acc)
     if wta:
-        # (nbands, nch, rows, wch) -> (H, W).
-        return tuple(
-            m.transpose(0, 2, 1, 3).reshape(h, w) for m in out
-        )
+        # (nbands, w, rows) -> (nbands, rows, w) -> (h, w).
+        return tuple(m.transpose(0, 2, 1).reshape(h, w) for m in out)
     return out
 
 
@@ -647,13 +713,20 @@ def sgm_disparity(left, right, cfg):
         raise NotImplementedError
 
     acc_dt = _acc_dtype(cfg)
-    c = bt_cost_volume_pallas(
+    # K1 emits the volume x-major; the horizontal sweeps consume it in
+    # that layout directly. The two swapaxes (cost + accumulated sum into
+    # the row-sweeps' row-major layout) are strided-DMA copies — far
+    # cheaper than strided sublane access inside the scan kernels.
+    c_t = bt_cost_volume_pallas(
         left.astype(jnp.float32), right.astype(jnp.float32), cfg
     )
+    c = jnp.swapaxes(c_t, 0, 1)
 
     p1, p2 = cfg.p1, cfg.p2
-    lw = hsweep_pallas(c, None, p1, p2, backward=False, out_dtype=jnp.int16)
-    swe = hsweep_pallas(c, lw, p1, p2, backward=True, out_dtype=acc_dt)
+    lw_t = hsweep_pallas(c_t, None, p1, p2, backward=False,
+                         out_dtype=jnp.int16)
+    swe_t = hsweep_pallas(c_t, lw_t, p1, p2, backward=True, out_dtype=acc_dt)
+    swe = jnp.swapaxes(swe_t, 0, 1)
 
     paths = cfg.num_paths
     if paths == 3:

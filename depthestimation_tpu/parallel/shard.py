@@ -11,9 +11,11 @@ the ring/blockwise pattern of sequence parallelism applied to scanlines
 (SURVEY.md section 5 'long-context analogue').
 
 Disparity-range sharding splits the D axis of the H x W x D cost volume
-across 'model'; WTA then reduces (min, argmin) over the shard axis with
-psum-style collectives. SGM couples all d through min_d', so disp sharding
-pairs with the pure block-matching path (num_paths == 0).
+across 'model'. Two variants: disp_sharded_blockmatch (local WTA + global
+argmin over shards) and disp_sharded_sgm — the FULL SGM matcher with the
+lane-coupled terms (min_d', d+-1 shard-boundary neighbors, WTA/uniqueness
+reductions) carried over pmin/ppermute collectives, bit-identical to the
+single-device matcher.
 """
 
 from __future__ import annotations
@@ -87,7 +89,8 @@ def tile_sharded_disparity(mesh: Mesh, cfg: SGMConfig, halo: int = DEFAULT_HALO,
     in_spec = P(axis, None)
     return shard_map(
         local_fn, mesh=mesh, in_specs=(in_spec, in_spec), out_specs=in_spec,
-        
+        # Pallas outputs carry no varying-mesh-axes info; skip vma checks.
+        check_vma=False,
     )
 
 
@@ -311,7 +314,10 @@ def batch_pipeline(mesh: Mesh, cfg: SGMConfig, downscale_factor: float = 1.0,
     has_depth = cfg.focal_length is not None and cfg.baseline is not None
 
     def local_fn(lb, rb):
-        disp, depth = jax.vmap(per_frame)(lb, rb)
+        # Frames on one device run sequentially (lax.map, traced once):
+        # DP parallelism is across devices, and unlike vmap this composes
+        # with the Pallas matcher's manual-DMA kernels.
+        disp, depth = jax.lax.map(lambda ab: per_frame(*ab), (lb, rb))
         if depth is None:
             return disp
         return disp, depth
@@ -319,7 +325,8 @@ def batch_pipeline(mesh: Mesh, cfg: SGMConfig, downscale_factor: float = 1.0,
     fn = shard_map(
         local_fn, mesh=mesh, in_specs=(spec, spec),
         out_specs=(spec, spec) if has_depth else spec,
-        
+        # Pallas outputs carry no varying-mesh-axes info; skip vma checks.
+        check_vma=False,
     )
 
     @jax.jit

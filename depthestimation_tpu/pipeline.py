@@ -14,6 +14,7 @@ Stage order mirrors _process_pair (stereo_core.py:162-200):
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import Optional, Tuple
 
 import jax
@@ -38,9 +39,12 @@ def raw_disparity(left, right, cfg: SGMConfig):
     disparity in pixels on the 1/16 grid (the reference's /16 decode of
     int16 fixed point, stereo_core.py:232); invalid = min_disp - 1."""
     disp = None
-    if cfg.use_pallas and jax.default_backend() == "tpu":
-        from .ops import pallas_sgm
+    from .ops import pallas_sgm
 
+    # The Pallas matcher runs on TPU, or anywhere under interpret mode
+    # (how the CPU test suite and the multi-chip dryrun exercise it).
+    if cfg.use_pallas and (jax.default_backend() == "tpu"
+                           or pallas_sgm.INTERPRET):
         try:
             disp = pallas_sgm.sgm_disparity(left, right, cfg)
         except NotImplementedError:
@@ -179,6 +183,15 @@ class StereoPipeline:
             gray_l = color.to_grayscale(jnp.asarray(left_img)).astype(jnp.float32)
             gray_r = color.to_grayscale(jnp.asarray(right_img)).astype(jnp.float32)
             size_hw = (cfg.calib.image_height, cfg.calib.image_width)
+            if gray_l.shape != size_hw or gray_r.shape != size_hw:
+                # Reference parity: rectify.py:99-104 warns before resizing
+                # an image that disagrees with the calibration size.
+                warnings.warn(
+                    f"Image size {tuple(gray_l.shape)} does not match "
+                    f"calibration size {size_hw}; resizing to match.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             if gray_l.shape != size_hw:
                 gray_l = color.resize_bilinear(gray_l, size_hw)
             if gray_r.shape != size_hw:
@@ -218,17 +231,23 @@ class StereoPipeline:
     def compute_disparity(self, rectified_l, rectified_r):
         """Matcher-only stage (compute_disparity parity,
         stereo_core.py:212-232). This is the injectable test seam the
-        reference exposes (tests/test_postproc_logic.py replaces it)."""
-        cfg = self.cfg
+        reference exposes (tests/test_postproc_logic.py replaces it).
 
-        @functools.partial(jax.jit)
-        def run(l, r):
-            return raw_disparity(l, r, cfg)
+        Jitted once per (config, shape) via the shared cache — a fresh
+        closure per call would re-trace every invocation."""
+        left = jnp.asarray(rectified_l, jnp.float32)
+        right = jnp.asarray(rectified_r, jnp.float32)
+        key = ("matcher", self.cfg, left.shape)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            cfg = self.cfg
 
-        return run(
-            jnp.asarray(rectified_l, jnp.float32),
-            jnp.asarray(rectified_r, jnp.float32),
-        )
+            @jax.jit
+            def run(l, r):
+                return raw_disparity(l, r, cfg)
+
+            self._jit_cache[key] = fn = run
+        return fn(left, right)
 
     def _get_post_jitted(self, shape):
         key = ("post", self.cfg, shape, self.fast_mode, self.downscale_factor)

@@ -229,10 +229,30 @@ def render_depth_live_gray(depth_m, fps: float) -> np.ndarray:
 
 
 class _LiveWindow:
-    """Lazily-created interactive window; inert on headless backends."""
+    """Lazily-created interactive window; inert on headless backends.
+
+    ESC (or closing the window) sets stop_requested, the reference's
+    cv2.waitKey ESC-exit (StereoDepthEstimatorVideo.py:111-112); the
+    streaming facade polls it between frames."""
 
     _fig = None
     _im = None
+    stop_requested = False
+
+    @classmethod
+    def reset(cls):
+        cls.stop_requested = False
+
+    @classmethod
+    def _on_key(cls, event):
+        if event.key == "escape":
+            cls.stop_requested = True
+
+    @classmethod
+    def _on_close(cls, event):
+        cls.stop_requested = True
+        cls._fig = None
+        cls._im = None
 
     @classmethod
     def show(cls, frame: np.ndarray, fps: float):
@@ -242,12 +262,14 @@ class _LiveWindow:
             return  # headless: callers still get the rendered frame
         import matplotlib.pyplot as plt
 
-        title = f"FPS: {fps:.1f} | cap {DISPLAY_MAX_DEPTH_M:.0f} m"
+        title = f"FPS: {fps:.1f} | cap {DISPLAY_MAX_DEPTH_M:.0f} m | ESC quits"
         if cls._fig is None:
             plt.ion()
             cls._fig, ax = plt.subplots(num="Depth (live)")
             cls._im = ax.imshow(frame)
             ax.axis("off")
+            cls._fig.canvas.mpl_connect("key_press_event", cls._on_key)
+            cls._fig.canvas.mpl_connect("close_event", cls._on_close)
         cls._im.set_data(frame)
         cls._fig.axes[0].set_title(title)
         cls._fig.canvas.draw_idle()

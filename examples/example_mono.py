@@ -15,7 +15,13 @@ sys.path.insert(0, ".")
 import depthestimation_tpu as det
 
 if __name__ == "__main__":
-    image_path = "./assets/im0.png"
+    import os
+
+    image_path = "./assets/stereo_pairs/im0.png"
+    if not os.path.exists(image_path):
+        from depthestimation_tpu.io.synthetic import write_demo_assets
+
+        image_path = write_demo_assets("./assets")["left"]
     model_path = "small"  # or a checkpoint / HF snapshot directory
 
     estimator = det.MonocularDepthEstimator(

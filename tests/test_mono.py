@@ -108,3 +108,30 @@ def test_silog_loss_properties():
     assert float(
         silog_loss(pred * 3.0, target, valid, lam=1.0)
     ) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_sharded_inference_matches_single_device():
+    """predict via make_sharded_predict (DP batch + 'model'-axis TP params)
+    must match the plain single-device apply (VERDICT r2 Weak #9)."""
+    import jax
+    import jax.numpy as jnp
+
+    from depthestimation_tpu.models.mono import MonoDepthNet
+    from depthestimation_tpu.models.train import (
+        make_sharded_predict, param_shardings_for,
+    )
+    from depthestimation_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((2, 1, 4), axis_names=("data", "tile", "model"))
+    net = MonoDepthNet(TINY_VIT, TINY_DPT)
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.uniform(0, 1, (4, 56, 56, 3)).astype(np.float32))
+    import flax.linen as nn
+
+    params = nn.meta.unbox(net.init(jax.random.PRNGKey(0), images[:1]))["params"]
+
+    ref = net.apply({"params": params}, images)
+    shardings = param_shardings_for(net, mesh, (56, 56))
+    pred = make_sharded_predict(net, mesh, shardings)(params, images)
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -49,8 +49,10 @@ def test_cost_volume_exact(pair):
     left, right = pair
     h, w = left.shape
     c_ref = ref_cost(left, right, CFG)
+    # K1 emits the volume x-major (Wp, Hp, Dp); compare the row-major view.
     c_pal = np.asarray(
-        pallas_sgm.bt_cost_volume_pallas(left, right, CFG)
+        jnp.swapaxes(pallas_sgm.bt_cost_volume_pallas(left, right, CFG),
+                     0, 1)
     ).astype(np.int32)
     assert c_pal.shape == (64, 384, 128)  # h padded to 64
     np.testing.assert_array_equal(c_ref, c_pal[:h, :w, : CFG.num_disp])
@@ -63,7 +65,8 @@ def test_cost_volume_pad_lanes_and_cols():
     left, right = make_pair(16, 360)
     cfg = SGMConfig(num_disp=48, sgbm_mode="hh4", speckle_window_size=0)
     c_ref = ref_cost(left, right, cfg)
-    c_pal = np.asarray(pallas_sgm.bt_cost_volume_pallas(left, right, cfg))
+    c_pal = np.asarray(jnp.swapaxes(
+        pallas_sgm.bt_cost_volume_pallas(left, right, cfg), 0, 1))
     assert c_pal.shape == (64, 384, 128)
     np.testing.assert_array_equal(c_ref, c_pal[:16, :360, :48])
     _, c_pad = pallas_sgm._cost_bounds(cfg)
@@ -77,10 +80,12 @@ def test_hsweep_exact(pair):
     a_ref = np.asarray(
         sgm.aggregate(jnp.asarray(c_ref), CFG.p1, CFG.p2, 2)
     ).astype(np.int32)
-    c_pal = pallas_sgm.bt_cost_volume_pallas(left, right, CFG)
-    lw = pallas_sgm.hsweep_pallas(c_pal, None, CFG.p1, CFG.p2,
-                                  backward=False)
-    swe = pallas_sgm.hsweep_pallas(c_pal, lw, CFG.p1, CFG.p2, backward=True)
+    c_t = pallas_sgm.bt_cost_volume_pallas(left, right, CFG)  # x-major
+    lw_t = pallas_sgm.hsweep_pallas(c_t, None, CFG.p1, CFG.p2,
+                                    backward=False)
+    swe_t = pallas_sgm.hsweep_pallas(c_t, lw_t, CFG.p1, CFG.p2,
+                                     backward=True)
+    swe = jnp.swapaxes(swe_t, 0, 1)
     h, w = left.shape
     np.testing.assert_array_equal(
         a_ref, np.asarray(swe).astype(np.int32)[:h, :w, : CFG.num_disp]

@@ -134,3 +134,18 @@ def test_pipeline_prepare_rectified_shapes():
     rl, rr = pipe.prepare_rectified(img, img)
     assert rl.shape == (SIZE[1], SIZE[0]) and rr.shape == (SIZE[1], SIZE[0])
     assert str(rl.dtype) == "float32"
+
+
+def test_calib_size_mismatch_warns():
+    """Reference parity (rectify.py:99-104): a RuntimeWarning fires before
+    silently resizing inputs that disagree with the calibration size."""
+    cfg = SGMConfig(num_disp=16, baseline=0.5).updated(
+        cam_matrix_L=K1, cam_matrix_R=K2,
+        image_width=SIZE[0], image_height=SIZE[1],
+    )
+    pipe = StereoPipeline(cfg)
+    rng = np.random.default_rng(3)
+    small = rng.integers(0, 255, (SIZE[1] // 2, SIZE[0] // 2, 3)).astype(np.uint8)
+    with pytest.warns(RuntimeWarning, match="does not match"):
+        rl, rr = pipe.prepare_rectified(small, small)
+    assert rl.shape == (SIZE[1], SIZE[0])

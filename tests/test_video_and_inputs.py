@@ -79,3 +79,70 @@ def test_video_facade_temporal_smoothing_runs():
                        speckle_window_size=0, temporal_alpha=0.5)
     depths = list(vid.estimate_depth())
     assert len(depths) == n
+
+
+class _Poison:
+    """Opaque object that defeats numpy image handling downstream."""
+
+
+def test_input_pipeline_isolates_corrupt_frame():
+    """Per-frame error isolation (SURVEY.md section 5): a frame that blows
+    up in decode is counted and skipped; the stream completes."""
+    left, right = _frames(5)
+    left = list(left)
+    left[2] = _Poison()  # downscale stage will raise on this frame
+    pipe = StereoInputPipeline(left, right, downscale_factor=0.5,
+                               drop_frames=False)
+    pipe.start()
+    seen = sum(1 for _ in pipe)
+    pipe.stop()
+    assert seen == 4
+    assert pipe.frames_failed == 1
+
+
+def test_input_pipeline_gives_up_after_consecutive_failures():
+    n_bad = StereoInputPipeline.MAX_CONSECUTIVE_FAILURES + 3
+    left = [_Poison()] * n_bad
+    right, _ = _frames(n_bad)
+    pipe = StereoInputPipeline(left, right, downscale_factor=0.5)
+    pipe.start()
+    seen = sum(1 for _ in pipe)
+    pipe.stop()
+    assert seen == 0
+    assert pipe.frames_failed == StereoInputPipeline.MAX_CONSECUTIVE_FAILURES
+
+
+def test_video_facade_isolates_compute_failure():
+    """A frame the device pipeline rejects is skipped and counted; the
+    generator keeps yielding the healthy frames."""
+    n = 5
+    left, right = _frames(n)
+    left = list(left)
+    left[2] = _Poison()  # jnp.asarray raises at dispatch
+    vid = StereoDepthEstimatorVideo(
+        left_source=left, right_source=right, fast_mode=True, target_fps=0,
+        use_threading=False,
+    )
+    vid.configure_sgbm(num_disp=16, focal_length=500.0, baseline=0.1,
+                       speckle_window_size=0)
+    depths = list(vid.estimate_depth())
+    assert len(depths) == n - 1
+    assert vid.metrics.frames_failed == 1
+    assert vid.metrics.frames == n - 1
+
+
+def test_video_facade_stop_request():
+    """stop() ends the generator after the in-flight frame (the reference's
+    ESC exit, StereoDepthEstimatorVideo.py:111-112)."""
+    n = 6
+    left, right = _frames(n)
+    vid = StereoDepthEstimatorVideo(
+        left_source=left, right_source=right, fast_mode=True, target_fps=0,
+        use_threading=False,
+    )
+    vid.configure_sgbm(num_disp=16, speckle_window_size=0)
+    got = 0
+    for _ in vid.estimate_depth():
+        got += 1
+        vid.stop()
+    assert got == 1

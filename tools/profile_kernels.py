@@ -1,100 +1,95 @@
-"""Per-kernel wall-time profile of the Pallas matcher on the real chip.
+"""Per-kernel TPU timing of the Pallas SGM pipeline stages (round-3 tool).
 
-Times each stage of the hh4 pipeline at 1080p/128d with hard device->host
-syncs (see profiling.hard_sync — softer barriers return early on this
-stack). Run: python tools/profile_kernels.py [H W D mode]
+Times each stage of the hh4 headline (1080p/128d) separately. The timing
+fence is a device-side reduction of a small output slice pulled to host as
+a scalar: the scalar depends on the kernel's output, so np.asarray on it
+provably waits for the kernel — without dragging a half-gigabyte volume
+through the (slow, ~40 MB/s) debug tunnel the chip sits behind.
+
+Run on the real chip: python tools/profile_kernels.py
 """
 
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from depthestimation_tpu.config import SGMConfig
 from depthestimation_tpu.ops import pallas_sgm as P
-from depthestimation_tpu.profiling import hard_sync
-from bench import make_pair
+from depthestimation_tpu.ops import wta
 
 
-def bench_fn(name, fn, *args, n=20):
-    """Time n dispatches + one hard sync, minus separately measured
-    device->host transfer time (large volume outputs would otherwise swamp
-    the kernel time with tunnel transfer)."""
-    f = jax.jit(fn)
+def _checksum(tree):
+    # Full-array reductions: a sliced checksum would let XLA slice-fusion
+    # narrow non-Pallas elementwise stages to the sliced pixels.
+    leaves = jax.tree_util.tree_leaves(tree)
+    return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
+
+def bench(name, fn, *args, n=10):
+    """Throughput timing: enqueue n async dispatches, sync once — the
+    ~26 ms tunnel round trip amortizes to ~2.6 ms instead of taxing every
+    call (JAX dispatch is async; the device runs the calls back-to-back)."""
+    f = jax.jit(lambda *a: (fn(*a), _checksum(fn(*a))))
     t0 = time.perf_counter()
-    out = hard_sync(f(*args))
+    out, chk = f(*args)
+    np.asarray(chk)
     compile_s = time.perf_counter() - t0
-    # Transfer-only time for this output.
-    t0 = time.perf_counter()
-    hard_sync(out)
-    t_xfer = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(n):
-        out = f(*args)
-    hard_sync(out)
-    ms = 1000 * (time.perf_counter() - t0 - t_xfer) / n
-    print(f"{name:28s} {ms:9.2f} ms   (compile {compile_s:6.1f}s, "
-          f"xfer {1000 * t_xfer:7.1f} ms)", flush=True)
+        res = f(*args)
+    np.asarray(res[1])
+    ms = (time.perf_counter() - t0) / n * 1e3
+    print(f"{name:28s} {ms:9.2f} ms   (compile {compile_s:.1f}s)", flush=True)
     return out, ms
 
 
 def main():
-    argv = sys.argv[1:]
-    H = int(argv[0]) if len(argv) > 0 else 1080
-    W = int(argv[1]) if len(argv) > 1 else 1920
-    D = int(argv[2]) if len(argv) > 2 else 128
-    mode = argv[3] if len(argv) > 3 else "hh4"
-    cfg = SGMConfig(num_disp=D, sgbm_mode=mode, speckle_window_size=0,
-                    wls_filter=True)
-    print(f"profile {H}x{W} D={D} mode={mode} "
-          f"p1={cfg.p1} p2={cfg.p2}", flush=True)
-
-    l_np, r_np = make_pair(H, W)
-    left, right = jnp.asarray(l_np), jnp.asarray(r_np)
+    H, W, D = 1080, 1920, 128
+    cfg = SGMConfig(num_disp=D, sgbm_mode="hh4", speckle_window_size=0)
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, (H, W + 32)).astype(np.float32)
+    left = jnp.asarray(base[:, :W])
+    right = jnp.asarray(base[:, 16 : W + 16])
 
     total = 0.0
-    c, ms = bench_fn(
-        "K1 cost volume",
-        lambda l, r: P.bt_cost_volume_pallas(l, r, cfg), left, right)
+    _, ms = bench("dispatch overhead (x+1)", lambda l, r: l[:8, :8] + 1.0,
+                  left, right)
+    ct, ms = bench("K1 cost_volume (t)", lambda l, r: P.bt_cost_volume_pallas(
+        l, r, cfg), left, right)
     total += ms
-    acc_dt = P._acc_dtype(cfg)
-    lw, ms = bench_fn(
-        "K2 hsweep fwd",
-        lambda c: P.hsweep_pallas(c, None, cfg.p1, cfg.p2, backward=False,
-                                  out_dtype=jnp.int16), c)
+    c, ms = bench("transpose Ct->C (XLA)", lambda ct: jnp.swapaxes(
+        ct, 0, 1), ct)
     total += ms
-    swe, ms = bench_fn(
-        "K2 hsweep bwd+acc",
-        lambda c, lw: P.hsweep_pallas(c, lw, cfg.p1, cfg.p2, backward=True,
-                                      out_dtype=acc_dt), c, lw)
+    lw, ms = bench("K2 hsweep fwd (t)", lambda ct: P.hsweep_pallas(
+        ct, None, cfg.p1, cfg.p2, backward=False), ct)
     total += ms
-    s3, ms = bench_fn(
-        "K3 rowsweep down",
-        lambda c, swe: P.rowsweep_pallas(c, swe, cfg, [0], False, False,
-                                         out_dtype=acc_dt), c, swe)
+    swe_t, ms = bench("K2 hsweep bwd+acc (t)", lambda ct, lw: P.hsweep_pallas(
+        ct, lw, cfg.p1, cfg.p2, backward=True,
+        out_dtype=P._acc_dtype(cfg)), ct, lw)
     total += ms
-    _, ms = bench_fn(
-        "K3 rowsweep up + WTA",
-        lambda c, s3: P.rowsweep_pallas(c, s3, cfg, [0], True, True), c, s3)
+    swe, ms = bench("transpose St->S (XLA)", lambda s: jnp.swapaxes(
+        s, 0, 1), swe_t)
     total += ms
-    print(f"{'sum of kernels':28s} {total:9.2f} ms", flush=True)
-
-    _, ms = bench_fn(
-        "full sgm_disparity",
-        lambda l, r: P.sgm_disparity(l, r, cfg), left, right)
-
-    from depthestimation_tpu.pipeline import stereo_depth_fn
-    _, ms = bench_fn(
-        "end-to-end stereo_depth_fn",
-        lambda l, r: stereo_depth_fn(l, r, cfg, 1.0, True)[0], left, right)
+    s3, ms = bench("K3 rowsweep down", lambda c, a: P.rowsweep_pallas(
+        c, a, cfg, [0], False, False, out_dtype=P._acc_dtype(cfg)), c, swe)
+    total += ms
+    maps, ms = bench("K3 rowsweep up + WTA", lambda c, a: P.rowsweep_pallas(
+        c, a, cfg, [0], True, True), c, s3)
+    total += ms
+    disp, d0, min_s = (m[:H, :W] for m in maps)
+    _, ms = bench("LR invalidate (XLA)", lambda d0, ms_, v: wta.lr_invalidate(
+        d0, ms_, v, cfg.disp12_max_diff, cfg.min_disp, num_disp=D),
+        d0, min_s, min_s < 2**20)
+    total += ms
+    _, ms = bench("full matcher", lambda l, r: P.sgm_disparity(l, r, cfg),
+                  left, right, n=5)
+    print(f"{'SUM OF STAGES':28s} {total:9.2f} ms  ({1000/total:.1f} fps equiv)")
 
 
 if __name__ == "__main__":
