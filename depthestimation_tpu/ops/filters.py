@@ -119,18 +119,19 @@ def filter_speckles(
     comparison is exact.
 
     Implementation: each valid pixel starts with its linear index as label;
-    min-label flood fill alternates local 4-neighbor propagation with
-    pointer-jumping (labels <- labels[labels]); component sizes come from a
-    scatter-add histogram.
+    min-label flood fill by local 4-neighbor propagation; component sizes
+    come from a scatter-add histogram. (An earlier version interleaved
+    pointer-jumping rounds — labels <- labels[labels] — but that is a full
+    2M-element gather per round, which XLA lowers catastrophically on TPU
+    (~hundreds of ms per frame), and the exactness argument below never
+    relied on it.)
 
     Exactness does NOT require global convergence. Only components of size
     <= max_speckle_size may be removed, and any such component has diameter
     < max_speckle_size, so num_iters defaults to enough LOCAL propagation
-    to fully converge every removable component (pointer jumping is just an
-    accelerator — it only helps along descending-index paths, so e.g. a
-    serpentine's return row converges at the local rate). Larger components
-    may be left with fragmented labels; a fragment is detected exactly by
-    label PURITY — a true component has no connectivity edge joining two
+    to fully converge every removable component. Larger components may be
+    left with fragmented labels; a fragment is detected exactly by label
+    PURITY — a true component has no connectivity edge joining two
     different labels — aggregated per label with a scatter-max, and impure
     labels are never removed (cv2 keeps all big components).
     """
@@ -167,10 +168,6 @@ def filter_speckles(
     def round_body(_, labels):
         for _ in range(local_steps):
             labels = _neighbor_min_labels(labels, same, big)
-        # Pointer jumping: labels <- labels[labels] (gather through flat view).
-        flat = labels.reshape(-1)
-        jumped = flat[jnp.clip(flat, 0, n - 1).astype(jnp.int32)]
-        labels = jnp.minimum(flat, jumped).reshape(h, w)
         return labels
 
     labels = jax.lax.fori_loop(0, num_iters, round_body, labels0)

@@ -35,7 +35,11 @@ def bench(name, fn, *args, n=10):
     """Throughput timing: enqueue n async dispatches, sync once — the
     ~26 ms tunnel round trip amortizes to ~2.6 ms instead of taxing every
     call (JAX dispatch is async; the device runs the calls back-to-back)."""
-    f = jax.jit(lambda *a: (fn(*a), _checksum(fn(*a))))
+    def once(*a):
+        out = fn(*a)  # single call: Pallas calls are side-effecting and
+        return out, _checksum(out)  # would NOT CSE if built twice
+
+    f = jax.jit(once)
     t0 = time.perf_counter()
     out, chk = f(*args)
     np.asarray(chk)
