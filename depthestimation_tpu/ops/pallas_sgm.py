@@ -78,7 +78,7 @@ __all__ = ["sgm_disparity", "pallas_supported", "bt_cost_volume_pallas",
 
 LANE = 128
 CROWS = 4    # row-band height of the cost kernel
-HS_XC = 16   # x positions per horizontal-scan block (int16 sublane tile)
+HS_XC = 32   # x positions per horizontal-scan block
 INTERPRET = False  # set True to run kernels in interpreter mode (CPU tests)
 
 _BIG = 2**20
@@ -644,7 +644,7 @@ def rowsweep_pallas(cost, acc, cfg, dxs: Sequence[int], reverse: bool,
     has_diag = any(dx != 0 for dx in dxs)
     dtypes = [cost.dtype, acc.dtype] + ([] if wta else [out_dtype])
     rows = _rs_rows(h, w, d, dtypes, len(dxs), has_diag,
-                    cap=4 if wta else 8)
+                    cap=8)
     nbands = h // rows
 
     if reverse:
