@@ -155,30 +155,51 @@ def _cost_kernel(u_hbm, u0_hbm, u1_hbm, v_hbm, v0_hbm, v1_hbm, out_ref,
     r = block_size // 2
     i = pl.program_id(0)
     j = pl.program_id(1)
+    nx = pl.num_programs(1)
     x0 = j * xc
 
-    # Window DMAs: left windows cover x in [x0 - r, ...) at lane offset x0
-    # (the slabs carry r columns of left edge-padding); right windows cover
-    # every lane slice any column in the chunk needs. All offsets/lengths
-    # are 128-aligned by construction (xc = 128, aligned scratch widths).
-    dmas = []
-    for hbm, vmem, start in (
-        (u_hbm, uw, x0), (u0_hbm, u0w, x0), (u1_hbm, u1w, x0),
-        (v_hbm, vw, s_base - x0), (v0_hbm, v0w, s_base - x0),
-        (v1_hbm, v1w, s_base - x0),
-    ):
-        # multiple_of: s_base is a 128-multiple by construction and
-        # x0 = j*128, but Mosaic cannot prove the difference is aligned.
+    # Window DMAs, double-buffered across chunks: slot = parity of the
+    # global step; the NEXT chunk's six windows start before this chunk's
+    # compute, so the copies overlap the ring computation. Left windows
+    # cover x in [x0 - r, ...) at lane offset x0 (the slabs carry r
+    # columns of left edge-padding); right windows cover every lane slice
+    # any column in the chunk needs. All offsets/lengths are 128-aligned
+    # by construction (xc = 128, aligned scratch widths); multiple_of
+    # communicates what Mosaic cannot prove about s_base - j*xc.
+    hbms = (u_hbm, u0_hbm, u1_hbm, v_hbm, v0_hbm, v1_hbm)
+    wins = (uw, u0w, u1w, vw, v0w, v1w)
+
+    def dma(slot, bi, bx0, k):
+        start = bx0 if k < 3 else s_base - bx0
         start = pl.multiple_of(start, LANE)
-        dma = pltpu.make_async_copy(
-            hbm.at[pl.ds(i * rows, rows_al), pl.ds(start, vmem.shape[1])],
-            vmem,
-            sems.at[len(dmas)],
+        vmem = wins[k]
+        return pltpu.make_async_copy(
+            hbms[k].at[pl.ds(bi * rows, rows_al),
+                       pl.ds(start, vmem.shape[2])],
+            vmem.at[slot],
+            sems.at[slot * 6 + k],
         )
-        dma.start()
-        dmas.append(dma)
-    for dma in dmas:
-        dma.wait()
+
+    t = i * nx + j
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _():
+        for k in range(6):
+            dma(0, i, x0, k).start()
+
+    # Prefetch the next grid step's windows (wrapping to the next band).
+    last_chunk = j == nx - 1
+    ni = jnp.where(last_chunk, i + 1, i)
+    nx0 = jnp.where(last_chunk, 0, x0 + xc)
+
+    @pl.when(t + 1 < pl.num_programs(0) * nx)
+    def _():
+        for k in range(6):
+            dma(1 - slot, ni, nx0, k).start()
+
+    for k in range(6):
+        dma(slot, i, x0, k).wait()
 
     sub = jax.lax.broadcasted_iota(jnp.int32, (rows, dp), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, dp), 1)
@@ -189,21 +210,21 @@ def _cost_kernel(u_hbm, u0_hbm, u1_hbm, v_hbm, v0_hbm, v1_hbm, out_ref,
         """(rows_al, dp) BT pixel cost for column x0 + dx (dx static)."""
         # Right-slab lane slice: ascending d = ascending reversed-x.
         o = (xc - 1 + r) - dx
-        v = vw[:, o: o + dp]
-        v0 = v0w[:, o: o + dp]
-        v1 = v1w[:, o: o + dp]
+        v = vw[slot, :, o: o + dp]
+        v0 = v0w[slot, :, o: o + dp]
+        v1 = v1w[slot, :, o: o + dp]
         # Left values at x are scalars per row: single-lane broadcasts.
-        ul = uw[:, dx + r: dx + r + 1]
-        u0l = u0w[:, dx + r: dx + r + 1]
-        u1l = u1w[:, dx + r: dx + r + 1]
+        ul = uw[slot, :, dx + r: dx + r + 1]
+        u0l = u0w[slot, :, dx + r: dx + r + 1]
+        u1l = u1w[slot, :, dx + r: dx + r + 1]
         c0 = jnp.maximum(jnp.maximum(ul - v1, v0 - ul), 0.0)
         c1 = jnp.maximum(jnp.maximum(v - u1l, u0l - v), 0.0)
         return jnp.minimum(c0, c1)
 
-    def ybox(t):
-        acc = t[0:rows, :]
+    def ybox(tile):
+        acc = tile[0:rows, :]
         for k2 in range(1, block_size):
-            acc = acc + t[k2: k2 + rows, :]
+            acc = acc + tile[k2: k2 + rows, :]
         return acc
 
     # Ring warm-up: tiles for taps x0 - r .. x0 + r - 1; each loop step
@@ -213,8 +234,8 @@ def _cost_kernel(u_hbm, u0_hbm, u1_hbm, v_hbm, v0_hbm, v1_hbm, out_ref,
     for k in range(xc):
         ring.append(ybox(pc_tile(k + r)))
         acc = ring[0]
-        for t in ring[1:]:
-            acc = acc + t
+        for tile in ring[1:]:
+            acc = acc + tile
         acc = acc.astype(jnp.int32)
         live = live_row & (x0 + k < w)
         acc = jnp.where(live, acc, 0)
@@ -296,13 +317,13 @@ def bt_cost_volume_pallas(left, right, cfg):
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((wp, hp, dp), jnp.int16),
         scratch_shapes=[
-            pltpu.VMEM((rows_al, uwin_al), jnp.float32),
-            pltpu.VMEM((rows_al, uwin_al), jnp.float32),
-            pltpu.VMEM((rows_al, uwin_al), jnp.float32),
-            pltpu.VMEM((rows_al, vwin_al), jnp.float32),
-            pltpu.VMEM((rows_al, vwin_al), jnp.float32),
-            pltpu.VMEM((rows_al, vwin_al), jnp.float32),
-            pltpu.SemaphoreType.DMA((6,)),
+            pltpu.VMEM((2, rows_al, uwin_al), jnp.float32),
+            pltpu.VMEM((2, rows_al, uwin_al), jnp.float32),
+            pltpu.VMEM((2, rows_al, uwin_al), jnp.float32),
+            pltpu.VMEM((2, rows_al, vwin_al), jnp.float32),
+            pltpu.VMEM((2, rows_al, vwin_al), jnp.float32),
+            pltpu.VMEM((2, rows_al, vwin_al), jnp.float32),
+            pltpu.SemaphoreType.DMA((12,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
