@@ -199,6 +199,128 @@ def run_sharded_config(name, results, n=5):
         traceback.print_exc(file=sys.stderr)
 
 
+def run_rectified_config(name, results, n=5):
+    """Full-calibration route at 1080p (VERDICT r3 #4): grayscale + banded
+    remap + matcher fused into one dispatch (rectify.py:185-186 analogue,
+    realistic mild rig: 0.25 deg relative yaw + light distortion)."""
+    if _deadline_skip(name, results):
+        return
+    try:
+        import jax.numpy as jnp
+
+        from depthestimation_tpu.config import CalibConfig, SGMConfig
+        from depthestimation_tpu.pipeline import StereoPipeline
+
+        h, w = 1080, 1920
+        fx = 1000.0
+        K = (fx, 0.0, w / 2, 0.0, fx, h / 2, 0.0, 0.0, 1.0)
+        th = np.deg2rad(0.25)
+        rot = (float(np.cos(th)), float(-np.sin(th)), 0.0,
+               float(np.sin(th)), float(np.cos(th)), 0.0, 0.0, 0.0, 1.0)
+        dist = (-0.01, 0.002, 0.0, 0.0, 0.0)
+        calib = CalibConfig(cam_matrix_l=K, cam_matrix_r=K,
+                            image_width=w, image_height=h,
+                            dist_coeff_l=dist, dist_coeff_r=dist,
+                            rotation=rot)
+        cfg = SGMConfig(num_disp=128, sgbm_mode="hh4",
+                        speckle_window_size=0, wls_filter=True,
+                        calib=calib, focal_length=fx, baseline=0.12)
+        pipe = StereoPipeline(cfg, fast_mode=True)
+        l, r = make_pair(h, w)
+        l3 = np.repeat(l[..., None], 3, -1)
+        r3 = np.repeat(r[..., None], 3, -1)
+
+        t0 = time.perf_counter()
+        disp, _ = pipe.estimate_depth_async(l3, r3)
+        np.asarray(jnp.sum(disp))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            disp, _ = pipe.estimate_depth_async(l3, r3)
+        np.asarray(jnp.sum(disp))
+        fps = n / (time.perf_counter() - t0)
+        results[name] = round(fps, 2)
+        print(f"[bench] {name}: {fps:.2f} fps (compile {compile_s:.0f}s)",
+              file=sys.stderr, flush=True)
+    except Exception as e:  # noqa: BLE001
+        msg = f"{type(e).__name__}: {e}"
+        results[name] = {"error": msg[:500]}
+        print(f"[bench] {name}: FAILED {msg[:200]}", file=sys.stderr,
+              flush=True)
+        traceback.print_exc(file=sys.stderr)
+
+
+def run_mono_config(name, results, n=10):
+    """MonoDepthNet-small forward at 518x518 on the chip (VERDICT r3 #6;
+    MonocularDepthEstimator.py:55-76 capability). Random weights — fps
+    does not depend on weight values."""
+    if _deadline_skip(name, results):
+        return
+    try:
+        import jax.numpy as jnp
+
+        from depthestimation_tpu.models.mono import MonoDepthModel
+
+        model = MonoDepthModel.create("small", image_size=518)
+        x = jnp.asarray(
+            np.random.default_rng(0).random((1, 518, 518, 3), np.float32))
+        fn = model._apply_fn(x.shape)
+
+        t0 = time.perf_counter()
+        np.asarray(jnp.sum(fn(model.params, x)))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(model.params, x)
+        np.asarray(jnp.sum(out))
+        fps = n / (time.perf_counter() - t0)
+        results[name] = round(fps, 2)
+        print(f"[bench] {name}: {fps:.2f} fps (compile {compile_s:.0f}s)",
+              file=sys.stderr, flush=True)
+    except Exception as e:  # noqa: BLE001
+        msg = f"{type(e).__name__}: {e}"
+        results[name] = {"error": msg[:500]}
+        print(f"[bench] {name}: FAILED {msg[:200]}", file=sys.stderr,
+              flush=True)
+        traceback.print_exc(file=sys.stderr)
+
+
+def run_streaming_config(name, results, frames=40):
+    """Sustained fps + mean latency of StereoDepthEstimatorVideo over
+    in-memory synthetic 1080p frames (VERDICT r3 #8): validates the
+    capture -> H2D -> compute -> D2H overlap of the streaming facade."""
+    if _deadline_skip(name, results):
+        return
+    try:
+        from depthestimation_tpu import StereoDepthEstimatorVideo
+
+        h, w = 1080, 1920
+        l, r = make_pair(h, w)
+        lf = [(l + i).astype(np.float32) % 255.0 for i in range(frames)]
+        rf = [(r + i).astype(np.float32) % 255.0 for i in range(frames)]
+        est = StereoDepthEstimatorVideo(
+            left_source=lf, right_source=rf, fast_mode=True,
+            use_threading=True, target_fps=0, visualize_live=False)
+        est.configure_sgbm(num_disp=128, sgbm_mode="hh4",
+                           speckle_window_size=0, wls_filter=True)
+        n_out = 0
+        for _ in est.estimate_depth():
+            n_out += 1
+        summary = est.metrics.summary()
+        results[name] = summary["throughput_fps"]
+        results[name + "_mean_latency_ms"] = summary["steady_mean_latency_ms"]
+        results[name + "_frames"] = n_out
+        print(f"[bench] {name}: {summary['throughput_fps']:.2f} fps "
+              f"sustained, {summary['steady_mean_latency_ms']:.0f} ms steady "
+              f"latency ({n_out} frames)", file=sys.stderr, flush=True)
+    except Exception as e:  # noqa: BLE001
+        msg = f"{type(e).__name__}: {e}"
+        results[name] = {"error": msg[:500]}
+        print(f"[bench] {name}: FAILED {msg[:200]}", file=sys.stderr,
+              flush=True)
+        traceback.print_exc(file=sys.stderr)
+
+
 def main():
     H, W, D = 1080, 1920, 128
     configs = {}
@@ -242,6 +364,12 @@ def main():
     # (1,1,1) mesh, batch=2): proves the sharded path end-to-end on the
     # real chip (VERDICT r2 item 4).
     run_sharded_config("shardmap_dp_batch2_720p_128d", configs, n=5)
+    # Full-calibration rectified route (VERDICT r3 #4).
+    run_rectified_config("rectified_1080p_128d", configs)
+    # Monocular net on the chip (VERDICT r3 #6).
+    run_mono_config("mono_small_518", configs)
+    # Streaming facade sustained throughput (VERDICT r3 #8).
+    run_streaming_config("streaming_sustained_fps", configs)
 
     value = round(headline, 2) if headline else 0.0
     print(

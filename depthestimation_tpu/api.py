@@ -186,7 +186,13 @@ class StereoDepthEstimatorVideo:
         self.metrics = MetricsAggregator()
         self.core.reset_temporal()
         self._stop_requested = False
-        viz._LiveWindow.reset()
+
+        # Per-stream ESC wiring: the live window invokes this listener, so
+        # starting one stream never clears a pending stop on another.
+        def _on_esc():
+            self._stop_requested = True
+
+        viz._LiveWindow.add_stop_listener(_on_esc)
         pending = None  # (device disparity, device depth, dispatch time)
         frame_start = time.time()
         measured_fps = float(self.target_fps)
@@ -205,48 +211,56 @@ class StereoDepthEstimatorVideo:
             return depth_m
 
         def stop_now():
-            return self._stop_requested or viz._LiveWindow.stop_requested
+            return self._stop_requested
 
-        for left, right in self._frames():
-            # Per-frame error isolation: a dispatch or readback failure
-            # skips that frame (counted in metrics) instead of killing the
-            # stream (SURVEY.md section 5 failure-detection gap).
-            try:
-                dispatched = self.core.estimate_depth_async(left, right)
-            except Exception:  # noqa: BLE001 — isolate the frame
-                self.metrics.record_failure()
-                continue
-            if pending is not None:
+        try:
+            for left, right in self._frames():
+                # Per-frame error isolation: a dispatch or readback failure
+                # skips that frame (counted in metrics) instead of killing
+                # the stream (SURVEY.md section 5 failure-detection gap).
+                try:
+                    dispatched = self.core.estimate_depth_async(left, right)
+                except Exception:  # noqa: BLE001 — isolate the frame
+                    self.metrics.record_failure()
+                    continue
+                if pending is not None:
+                    try:
+                        depth_m = sync(pending)
+                    except Exception:  # noqa: BLE001
+                        self.metrics.record_failure()
+                        pending = (dispatched[0], dispatched[1], time.time())
+                        # Keep per-frame timing honest across isolated
+                        # failures: the failed frame's wait must not be
+                        # charged to the next successful frame.
+                        frame_start = time.time()
+                        continue
+                    yield depth_m
+                    self._emit(depth_m, measured_fps)
+                    if stop_now():
+                        return
+                    if self._frame_interval > 0:
+                        sleep_t = (self._frame_interval
+                                   - (time.time() - frame_start))
+                        if sleep_t > 0:
+                            time.sleep(sleep_t)
+                    now = time.time()
+                    dt = now - frame_start
+                    measured_fps = 1.0 / dt if dt > 0 else measured_fps
+                    frame_start = now
+                pending = (dispatched[0], dispatched[1], time.time())
+                if stop_now():
+                    break
+
+            if pending is not None and not stop_now():
                 try:
                     depth_m = sync(pending)
                 except Exception:  # noqa: BLE001
                     self.metrics.record_failure()
-                    pending = (dispatched[0], dispatched[1], time.time())
-                    continue
+                    return
                 yield depth_m
                 self._emit(depth_m, measured_fps)
-                if stop_now():
-                    return
-                if self._frame_interval > 0:
-                    sleep_t = self._frame_interval - (time.time() - frame_start)
-                    if sleep_t > 0:
-                        time.sleep(sleep_t)
-                now = time.time()
-                dt = now - frame_start
-                measured_fps = 1.0 / dt if dt > 0 else measured_fps
-                frame_start = now
-            pending = (dispatched[0], dispatched[1], time.time())
-            if stop_now():
-                break
-
-        if pending is not None and not stop_now():
-            try:
-                depth_m = sync(pending)
-            except Exception:  # noqa: BLE001
-                self.metrics.record_failure()
-                return
-            yield depth_m
-            self._emit(depth_m, measured_fps)
+        finally:
+            viz._LiveWindow.remove_stop_listener(_on_esc)
 
 
 class MonocularDepthEstimator:
@@ -273,6 +287,13 @@ class MonocularDepthEstimator:
             )
         self.model_path = model_path
         self.device = device
+        # Resolve the device string to an actual jax.Device so 'cpu' on an
+        # accelerator host really runs on CPU (reference semantics:
+        # model.to(device), MonocularDepthEstimator.py:34).
+        if device == "cpu":
+            self._jax_device = jax.devices("cpu")[0]
+        else:
+            self._jax_device = jax.devices()[0]
         self.downscale_factor = downscale_factor
         self.model = None
         self.depth_map = None
@@ -284,6 +305,7 @@ class MonocularDepthEstimator:
         print(f"Loading model from {self.model_path}")
         try:
             self.model = MonoDepthModel.load(self.model_path)
+            self.model.to_device(self._jax_device)
             self.warmup()
         except Exception as e:
             print(f"Error loading model: {e}")

@@ -66,6 +66,10 @@ class MetricsAggregator:
         self._t0 = time.time()
 
     def update(self, m: FrameMetrics):
+        if self.frames == 0:
+            # Start the throughput clock at the first completed frame so
+            # that frame's jit-compile time doesn't poison the stat.
+            self._t0 = time.time()
         self.frames += 1
         self.last = m
         self._lat.append(m.latency_ms)
@@ -82,14 +86,24 @@ class MetricsAggregator:
         return float(np.mean(self._lat)) if self._lat else 0.0
 
     @property
+    def steady_mean_latency_ms(self) -> float:
+        """Mean frame latency excluding the first frame (whose latency is
+        dominated by jit compilation on a cold cache)."""
+        lat = self._lat[1:] if len(self._lat) > 1 else self._lat
+        return float(np.mean(lat)) if lat else 0.0
+
+    @property
     def throughput_fps(self) -> float:
+        # The clock starts at the first frame's completion, so N frames
+        # span N-1 inter-frame intervals.
         dt = time.time() - self._t0
-        return self.frames / dt if dt > 0 else 0.0
+        return (self.frames - 1) / dt if dt > 0 and self.frames > 1 else 0.0
 
     def summary(self) -> dict:
         return {
             "frames": self.frames,
             "frames_failed": self.frames_failed,
             "mean_latency_ms": round(self.mean_latency_ms, 2),
+            "steady_mean_latency_ms": round(self.steady_mean_latency_ms, 2),
             "throughput_fps": round(self.throughput_fps, 2),
         }

@@ -71,6 +71,7 @@ class MonoDepthModel:
     net: MonoDepthNet
     params: Any
     _jit_cache: dict = None
+    device: Any = None  # jax.Device pin; None = backend default placement
 
     @classmethod
     def create(cls, size: str = "small", seed: int = 0,
@@ -146,11 +147,24 @@ class MonoDepthModel:
             self._jit_cache[shape] = fn = apply
         return fn
 
+    def to_device(self, device) -> "MonoDepthModel":
+        """Pin params (and all subsequent compute) to a specific device —
+        honest device semantics for the facade's device='cpu'/'tpu' arg
+        (the reference's .to(device), MonocularDepthEstimator.py:34)."""
+        self.device = device
+        self.params = jax.device_put(self.params, device)
+        if self._jit_cache:
+            self._jit_cache.clear()
+        return self
+
     def predict(self, image: np.ndarray) -> np.ndarray:
         """Single RGB uint8 image (H, W, 3) -> relative depth (H, W) at the
         preprocessed resolution (HF predicted_depth semantics)."""
         x = preprocess_image(image)
         batch = jnp.asarray(x)[None]
+        if self.device is not None:
+            # Committed inputs pin jit execution to the chosen device.
+            batch = jax.device_put(batch, self.device)
         fn = self._apply_fn(batch.shape)
         depth = fn(self.params, batch)
         return np.asarray(depth[0])
@@ -165,7 +179,9 @@ class MonoDepthModel:
         from .train import make_sharded_predict, param_shardings_for
 
         images = jnp.asarray(images, jnp.float32)
-        key = ("sharded", id(mesh), images.shape[1:])
+        # Mesh is hashable; keying on the object (not id()) keeps the cache
+        # correct if a mesh is garbage-collected and its id reused.
+        key = ("sharded", mesh, images.shape[1:])
         fn = self._jit_cache.get(key)
         if fn is None:
             shardings = param_shardings_for(self.net, mesh, images.shape[1:3])

@@ -13,8 +13,10 @@ import jax.numpy as jnp
 __all__ = ["to_grayscale", "resize_area", "resize_bilinear", "downscale"]
 
 # ITU-R BT.601 luma weights, RGB order (cv2 uses the same weights; its
-# BGR2GRAY just reverses the coefficient order).
-_BT601 = jnp.array([0.299, 0.587, 0.114], dtype=jnp.float32)
+# BGR2GRAY just reverses the coefficient order). Kept as a host tuple:
+# a module-level jnp.array would initialize the XLA backend at import,
+# breaking jax.distributed.initialize() for multi-host users.
+_BT601 = (0.299, 0.587, 0.114)
 
 
 def to_grayscale(img: jax.Array) -> jax.Array:
@@ -28,7 +30,10 @@ def to_grayscale(img: jax.Array) -> jax.Array:
     if img.ndim == 3 and img.shape[2] == 1:
         return img[:, :, 0]
     if img.ndim == 3 and img.shape[2] == 3:
-        gray = jnp.einsum("hwc,c->hw", img.astype(jnp.float32), _BT601)
+        gray = jnp.einsum(
+            "hwc,c->hw", img.astype(jnp.float32),
+            jnp.asarray(_BT601, dtype=jnp.float32),
+        )
         if jnp.issubdtype(img.dtype, jnp.integer):
             gray = jnp.round(gray)
         return gray.astype(img.dtype) if jnp.issubdtype(img.dtype, jnp.integer) else gray

@@ -119,21 +119,27 @@ def filter_speckles(
     comparison is exact.
 
     Implementation: each valid pixel starts with its linear index as label;
-    min-label flood fill by local 4-neighbor propagation; component sizes
-    come from a scatter-add histogram. (An earlier version interleaved
-    pointer-jumping rounds — labels <- labels[labels] — but that is a full
-    2M-element gather per round, which XLA lowers catastrophically on TPU
-    (~hundreds of ms per frame), and the exactness argument below never
-    relied on it.)
+    min-label flood fill by local 4-neighbor propagation. Component sizes
+    and removability are then derived WITHOUT any gather or scatter (XLA
+    lowers 2M-element gathers/scatter-adds catastrophically on TPU —
+    the earlier histogram version cost ~190 ms/frame): a BFS distance
+    field from each component root (the pixel whose index equals the
+    converged label), parent pointers as directions, and a truncated
+    subtree-count convergecast toward the root — all shifted-plane ops.
 
     Exactness does NOT require global convergence. Only components of size
-    <= max_speckle_size may be removed, and any such component has diameter
-    < max_speckle_size, so num_iters defaults to enough LOCAL propagation
-    to fully converge every removable component. Larger components may be
-    left with fragmented labels; a fragment is detected exactly by label
-    PURITY — a true component has no connectivity edge joining two
-    different labels — aggregated per label with a scatter-max, and impure
-    labels are never removed (cv2 keeps all big components).
+    <= max_speckle_size =: S may be removed, and any such component has
+    diameter < S, so S local propagation steps fully converge every
+    removable component, its BFS tree has depth < S, and S convergecast
+    steps deliver the exact size to its root. For larger components the
+    truncated count is still a proof: a tree deeper than S levels has at
+    least S+1 nodes within S levels, so (truncated count <= S) holds iff
+    the true size is <= S. Under-converged large components (several
+    label fragments) are protected by label PURITY: a connectivity edge
+    joining two different labels flags both sides, and the flag is
+    OR-propagated S steps — any fragment small enough to be miscounted
+    (<= S pixels) has its root within S-1 steps of such an edge. Impure
+    roots never remove (cv2 keeps all big components).
     """
     d = disparity.astype(jnp.float32)
     h, w = d.shape
@@ -171,26 +177,72 @@ def filter_speckles(
         return labels
 
     labels = jax.lax.fori_loop(0, num_iters, round_body, labels0)
-    lab_i = jnp.clip(labels.astype(jnp.int32), 0, n)
-    idx = jnp.where(valid, lab_i, n).reshape(-1)
 
-    # Component size histogram via scatter-add (invalid -> dropped bin n).
-    counts = jnp.zeros(n + 1, dtype=jnp.int32).at[idx].add(1)
-    comp_size = counts[lab_i]
+    # ---- size & removability, gather/scatter-free (see docstring) ----
+    s_max = int(max_speckle_size)
+    idx_map = jnp.arange(n, dtype=jnp.float32).reshape(h, w)
 
-    # Purity: a connectivity edge joining two different labels marks BOTH
-    # labels as fragments of an under-converged (hence large) component.
-    mismatch = jnp.zeros((h, w), dtype=jnp.int32)
+    # Same-label connectivity: component edges whose endpoints agree on the
+    # converged label; a disagreeing edge marks both endpoints impure.
+    conn = []
+    impure = jnp.zeros((h, w), dtype=jnp.bool_)
     for (dy, dx), s in zip(dirs, same):
-        nl = nb(labels, dy, dx, big)
-        mismatch = mismatch | (s & (nl != labels)).astype(jnp.int32)
-    impure_bins = jnp.zeros(n + 1, dtype=jnp.int32).at[idx].max(
-        mismatch.reshape(-1)
-    )
-    impure = impure_bins[lab_i] > 0
+        agree = nb(labels, dy, dx, big) == labels
+        conn.append(s & agree)
+        impure = impure | (s & ~agree)
 
-    speckle = valid & (comp_size <= max_speckle_size) & ~impure
-    return jnp.where(speckle, jnp.float32(new_val), d)
+    rounds = s_max // local_steps + 2
+    inf = jnp.float32(n + 8)
+    dist = jnp.where(valid & (labels == idx_map), 0.0, inf)
+
+    def relax_body(_, state):
+        dist, imp = state
+        for _ in range(local_steps):
+            for k, (dy, dx) in enumerate(dirs):
+                nd = nb(dist, dy, dx, inf)
+                dist = jnp.minimum(dist, jnp.where(conn[k], nd + 1.0, inf))
+                imp = imp | (same[k] & nb(imp, dy, dx, False))
+        return dist, imp
+
+    dist, impure = jax.lax.fori_loop(0, rounds, relax_body, (dist, impure))
+
+    # Parent pointers: first direction whose same-label neighbor sits one
+    # BFS level closer to the root (fixed N,S,W,E tie-break). Children =
+    # neighbors whose parent points back at this pixel.
+    parent = jnp.full((h, w), -1.0, jnp.float32)
+    for k in range(3, -1, -1):
+        dy, dx = dirs[k]
+        ok = conn[k] & (nb(dist, dy, dx, inf) == dist - 1.0)
+        parent = jnp.where(ok, jnp.float32(k), parent)
+    opp = (1.0, 0.0, 3.0, 2.0)
+    child = [
+        conn[k] & (nb(parent, dy, dx, -1.0) == opp[k])
+        for k, (dy, dx) in enumerate(dirs)
+    ]
+
+    def cc_body(_, c):
+        for _ in range(local_steps):
+            total = jnp.ones_like(c)
+            for k, (dy, dx) in enumerate(dirs):
+                total = total + jnp.where(child[k], nb(c, dy, dx, 0.0), 0.0)
+            c = total
+        return c
+
+    count = jax.lax.fori_loop(0, rounds, cc_body,
+                              jnp.ones((h, w), jnp.float32))
+
+    # Removability is decided at the root, then spread back through the
+    # component along same-label edges.
+    rem = (dist == 0.0) & (count <= s_max) & ~impure
+
+    def spread_body(_, r):
+        for _ in range(local_steps):
+            for k, (dy, dx) in enumerate(dirs):
+                r = r | (conn[k] & nb(r, dy, dx, False))
+        return r
+
+    rem = jax.lax.fori_loop(0, rounds, spread_body, rem)
+    return jnp.where(rem, jnp.float32(new_val), d)
 
 
 def _masked_nearest_fill(x: jax.Array, hole: jax.Array, iters: int) -> jax.Array:

@@ -229,19 +229,24 @@ def _cost_kernel(u_hbm, u0_hbm, u1_hbm, v_hbm, v0_hbm, v1_hbm, out_ref,
 
     # Ring warm-up: tiles for taps x0 - r .. x0 + r - 1; each loop step
     # adds the tap at x0 + k + r so the ring holds exactly the bs taps of
-    # output column x0 + k.
+    # output column x0 + k. The window sum is RUNNING (one add + one sub
+    # per column instead of bs - 1 adds): BT costs are small integers in
+    # f32, so the running add/sub stays exact (< 2^24).
     ring = [ybox(pc_tile(k - r)) for k in range(2 * r)]
+    racc = ring[0] if ring else None
+    for tile in ring[1:]:
+        racc = racc + tile
     for k in range(xc):
-        ring.append(ybox(pc_tile(k + r)))
-        acc = ring[0]
-        for tile in ring[1:]:
-            acc = acc + tile
-        acc = acc.astype(jnp.int32)
+        new = ybox(pc_tile(k + r))
+        ring.append(new)
+        racc = new if racc is None else racc + new
+        acc = racc.astype(jnp.int32)
         live = live_row & (x0 + k < w)
         acc = jnp.where(live, acc, 0)
         acc = jnp.where(pad_lane, c_pad_val, acc)
         out_ref[k] = acc.astype(jnp.int16)
-        ring.pop(0)
+        old = ring.pop(0)
+        racc = None if len(ring) == 0 else racc - old
 
 
 def bt_cost_volume_pallas(left, right, cfg):
@@ -643,8 +648,9 @@ def _rowsweep_kernel(c_ref, a_ref, *rest, p1, p2, dxs, reverse, rows,
 def _rs_rows(h, w, d, dtypes, ndirs, has_diag, cap=8) -> int:
     """Tallest row-band (divisor of h, <= cap) within the VMEM budget,
     leaving ~24 MB headroom for the step/WTA temporaries Mosaic
-    materializes. The WTA variant caps at 2: its per-row body is large and
-    statically unrolled, and 8 copies of it killed the Mosaic compiler."""
+    materializes. cap=8 held for the WTA pass too after round-3 tuning
+    (an earlier, larger-bodied WTA variant broke Mosaic at 8 rows; the
+    packed-tree version compiles and is faster at 8)."""
     fixed = ndirs * w * d * 4 * (2 if has_diag else 1)
     per_row = sum(2 * w * d * jnp.dtype(t).itemsize for t in dtypes)
     rows = cap

@@ -1,21 +1,108 @@
-"""Bilinear remap (gather + interpolate) — cv2.remap equivalent.
+"""Bilinear remap — cv2.remap equivalent, TPU-first.
 
 Reference usage: rectification warps images through precomputed float32
-sampling maps (rectify.py:185-186,234-235). On TPU this is a 4-tap gather
-with bilinear weights; out-of-image samples return 0 like cv2's default
-BORDER_CONSTANT.
+sampling maps (rectify.py:185-186,234-235). Out-of-image samples return 0
+like cv2's default BORDER_CONSTANT.
+
+Two implementations:
+
+- remap_banded: rectification maps displace pixels by BOUNDED amounts
+  (near-identity: same-K cameras, small rotations, mild distortion), so
+  the exact bilinear resample is a sum over statically shifted planes,
+  one per (dy, dx) in the displacement band, each weighted by the
+  per-pixel bilinear mask. Pure shifted-plane arithmetic — zero gathers
+  (XLA lowers 2M-element gathers catastrophically on TPU). Exact: every
+  output pixel has exactly its 4 cv2 taps non-zero in the band sum.
+- _remap_gather: the classic 4-tap advanced-indexing gather, used as the
+  fallback when the displacement band is too wide for the banded sum
+  (wild warps, not rectification) and on CPU where gathers are cheap.
+
+remap_bilinear picks automatically when given host (numpy) maps — the
+displacement band is a static property of the calibration, computed once
+per map set and cached.
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["remap_bilinear"]
+__all__ = ["remap_bilinear", "remap_banded"]
+
+# Widest displacement band the shifted-plane sum may use: beyond
+# ~(33 x 33) taps the arithmetic beats the gather no longer.
+_MAX_BANDED_TERMS = 1200
 
 
-def remap_bilinear(img, map_x, map_y):
-    """Sample img (H, W) at (map_x, map_y) float32 coordinates with
-    bilinear interpolation; coordinates outside the image give 0."""
+def _band(map_c: np.ndarray, idx_axis: int, size: int):
+    """Inclusive (lo, hi) range of floor(map) - index over the image,
+    clipped to just-outside-the-image so far-out samples (which cv2 zeros
+    anyway) don't widen the band."""
+    x0 = np.floor(map_c)
+    n = map_c.shape[idx_axis]
+    shape = (-1, 1) if idx_axis == 0 else (1, -1)
+    idx = np.arange(n, dtype=map_c.dtype).reshape(shape)
+    d = np.clip(x0, -1.0, float(size)) - idx
+    return int(d.min()), int(d.max())
+
+
+@functools.lru_cache(maxsize=16)
+def _banded_fn(h, w, dy_lo, dy_hi, dx_lo, dx_hi):
+    pad_t, pad_b = max(0, -dy_lo), max(0, dy_hi + 1)
+    pad_l, pad_r = max(0, -dx_lo), max(0, dx_hi + 1)
+
+    @jax.jit
+    def run(img, map_x, map_y):
+        img = img.astype(jnp.float32)
+        x0f = jnp.floor(map_x)
+        y0f = jnp.floor(map_y)
+        fx = map_x - x0f
+        fy = map_y - y0f
+        xi = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        yi = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        dx0 = x0f - xi
+        dy0 = y0f - yi
+        p = jnp.pad(img, ((pad_t, pad_b), (pad_l, pad_r)))
+        # Per-offset weights: offset b carries (1-f) as the floor tap and
+        # f as the floor+1 tap of the neighboring output coordinate.
+        wx = [
+            jnp.where(dx0 == bx, 1.0 - fx, 0.0) + jnp.where(dx0 == bx - 1, fx, 0.0)
+            for bx in range(dx_lo, dx_hi + 2)
+        ]
+        out = jnp.zeros((h, w), jnp.float32)
+        for by in range(dy_lo, dy_hi + 2):
+            wy = (jnp.where(dy0 == by, 1.0 - fy, 0.0)
+                  + jnp.where(dy0 == by - 1, fy, 0.0))
+            for i, bx in enumerate(range(dx_lo, dx_hi + 2)):
+                plane = jax.lax.dynamic_slice(
+                    p, (pad_t + by, pad_l + bx), (h, w))
+                out = out + (wy * wx[i]) * plane
+        return out
+
+    return run
+
+
+def remap_banded(img, map_x: np.ndarray, map_y: np.ndarray):
+    """Exact banded remap; maps must be host numpy arrays (static — they
+    come from the calibration cache). Returns None when the displacement
+    band is too wide to be profitable."""
+    h, w = map_x.shape
+    if tuple(img.shape) != (h, w):
+        return None  # banded shifts assume img and map grids coincide
+    dy_lo, dy_hi = _band(map_y, 0, img.shape[0])
+    dx_lo, dx_hi = _band(map_x, 1, img.shape[1])
+    terms = (dy_hi - dy_lo + 2) * (dx_hi - dx_lo + 2)
+    if terms > _MAX_BANDED_TERMS:
+        return None
+    fn = _banded_fn(h, w, dy_lo, dy_hi, dx_lo, dx_hi)
+    return fn(img, jnp.asarray(map_x), jnp.asarray(map_y))
+
+
+def _remap_gather(img, map_x, map_y):
+    """4-tap gather fallback (fine on CPU; slow at TPU scale)."""
     img = img.astype(jnp.float32)
     h, w = img.shape
 
@@ -39,3 +126,18 @@ def remap_bilinear(img, map_x, map_y):
     top = v00 * (1.0 - fx) + v01 * fx
     bot = v10 * (1.0 - fx) + v11 * fx
     return top * (1.0 - fy) + bot * fy
+
+
+def remap_bilinear(img, map_x, map_y):
+    """Sample img (H, W) at (map_x, map_y) float32 coordinates with
+    bilinear interpolation; coordinates outside the image give 0.
+
+    With host (numpy) maps — the rectification-cache case — the banded
+    shifted-plane path is used when the displacement band is narrow
+    (always true for real rectification maps); otherwise, or with traced
+    maps, the gather fallback runs."""
+    if isinstance(map_x, np.ndarray) and isinstance(map_y, np.ndarray):
+        out = remap_banded(img, map_x, map_y)
+        if out is not None:
+            return out
+    return _remap_gather(img, jnp.asarray(map_x), jnp.asarray(map_y))

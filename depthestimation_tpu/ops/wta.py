@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 __all__ = ["wta_disparity", "lr_invalidate"]
 
-_BIG = jnp.int32(2**20)
+_BIG = 2**20  # plain int: jnp constants at import would init the backend
 
 
 def lr_invalidate(d0, min_s, valid, disp12_max_diff, min_disp, num_disp=None):

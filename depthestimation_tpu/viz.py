@@ -210,9 +210,10 @@ def render_depth_live(depth_m, fps: float) -> np.ndarray:
     near = _live_normalize(depth_m)
     if near is None:
         return np.zeros((*np.shape(depth_m), 3), dtype=np.uint8)
-    import matplotlib.cm as cm
+    import matplotlib
 
-    lut = (cm.get_cmap("turbo")(np.linspace(0, 1, 256))[:, :3] * 255
+    # matplotlib.colormaps replaced cm.get_cmap (removed in >= 3.9).
+    lut = (matplotlib.colormaps["turbo"](np.linspace(0, 1, 256))[:, :3] * 255
            ).astype(np.uint8)
     # gamma on the *far* ratio, then invert so near is hot.
     idx = 255 - (np.sqrt(1.0 - near) * 255).astype(np.uint8)
@@ -238,19 +239,35 @@ class _LiveWindow:
     _fig = None
     _im = None
     stop_requested = False
+    _listeners = ()  # per-stream stop callbacks (api.py registers one per
+    # active stream, so one stream's start never clears another's ESC)
 
     @classmethod
     def reset(cls):
         cls.stop_requested = False
 
     @classmethod
+    def add_stop_listener(cls, cb):
+        cls._listeners = (*cls._listeners, cb)
+
+    @classmethod
+    def remove_stop_listener(cls, cb):
+        cls._listeners = tuple(c for c in cls._listeners if c is not cb)
+
+    @classmethod
+    def _signal_stop(cls):
+        cls.stop_requested = True
+        for cb in cls._listeners:
+            cb()
+
+    @classmethod
     def _on_key(cls, event):
         if event.key == "escape":
-            cls.stop_requested = True
+            cls._signal_stop()
 
     @classmethod
     def _on_close(cls, event):
-        cls.stop_requested = True
+        cls._signal_stop()
         cls._fig = None
         cls._im = None
 

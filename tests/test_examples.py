@@ -28,6 +28,7 @@ def _run(tmp_path, script, *args, timeout=900):
     )
 
 
+@pytest.mark.slow
 def test_example_stereo_runs_headless(tmp_path):
     r = _run(tmp_path, "example_stereo.py", "--downscale", "0.2")
     assert r.returncode == 0, r.stderr[-2000:]
@@ -36,6 +37,7 @@ def test_example_stereo_runs_headless(tmp_path):
     assert (tmp_path / "assets" / "calib.txt").exists()
 
 
+@pytest.mark.slow
 def test_example_stereo_live_runs_headless(tmp_path):
     r = _run(tmp_path, "example_stereo_live.py", "--downscale", "0.2",
              "--frames", "3", "--fps", "0")

@@ -135,3 +135,21 @@ def test_sharded_inference_matches_single_device():
     pred = make_sharded_predict(net, mesh, shardings)(params, images)
     np.testing.assert_allclose(np.asarray(pred), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_device_pinning_places_params_and_output():
+    """device='cpu' must actually place params and compute on the CPU
+    device (reference .to(device) semantics,
+    MonocularDepthEstimator.py:34), not just validate availability."""
+    import jax
+
+    from depthestimation_tpu.models.mono import MonoDepthModel
+
+    cpu = jax.devices("cpu")[0]
+    model = MonoDepthModel.create("small", image_size=56)
+    model.to_device(cpu)
+    leaf = jax.tree_util.tree_leaves(model.params)[0]
+    assert leaf.devices() == {cpu}
+    img = (np.random.default_rng(0).random((56, 56, 3)) * 255).astype(np.uint8)
+    out = model.predict(img)
+    assert out.shape[0] > 0

@@ -95,14 +95,20 @@ def test_hsweep_exact(pair):
 @pytest.mark.parametrize(
     "mode,num_disp,w",
     [
-        ("hh4", 128, 384),
+        # Fast tier: one small case per mode keeps every path topology
+        # bit-exact-checked in the default (< 5 min) run.
+        ("hh4", 64, 256),
         ("sgbm_3way", 128, 384),
-        ("sgbm", 128, 384),
-        ("hh", 128, 384),
-        # Gate-lift cases (VERDICT round 1): non-128 disparity counts
-        # (Middlebury 144) and non-128-aligned widths run on Pallas now.
-        ("hh", 144, 360),
-        ("sgbm", 48, 384),
+        ("sgbm", 64, 256),
+        ("hh", 64, 256),
+        # Slow tier: full-size cases + gate-lift cases (VERDICT round 1):
+        # non-128 disparity counts (Middlebury 144) and non-128-aligned
+        # widths run on Pallas.
+        pytest.param("hh4", 128, 384, marks=pytest.mark.slow),
+        pytest.param("sgbm", 128, 384, marks=pytest.mark.slow),
+        pytest.param("hh", 128, 384, marks=pytest.mark.slow),
+        pytest.param("hh", 144, 360, marks=pytest.mark.slow),
+        pytest.param("sgbm", 48, 384, marks=pytest.mark.slow),
     ],
 )
 def test_full_matcher_exact(mode, num_disp, w):
@@ -120,6 +126,7 @@ def test_full_matcher_exact(mode, num_disp, w):
     np.testing.assert_array_equal(d_xla, d_pal)
 
 
+@pytest.mark.slow
 def test_min_disp_nonzero():
     left, right = make_pair(16, 384, seed=7)
     cfg = SGMConfig(num_disp=32, min_disp=3, sgbm_mode="sgbm_3way",

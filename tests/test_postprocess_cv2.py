@@ -64,6 +64,20 @@ def test_speckle_snake_component():
     assert got[5, 10] == 7.0  # snake survives (size > max_size)
 
 
+def test_speckle_exact_size_boundary():
+    """Components of size exactly max_size (removed) vs max_size + 1
+    (kept) — exercises the truncated-count convergecast at its bound."""
+    h, w = 50, 80
+    d = np.zeros((h, w), np.float32)
+    d[10, 10:30] = 3.0  # 20 px — removed at max_size=20
+    d[30, 10:31] = 3.0  # 21 px — kept
+    ref = cv2_speckles(d, 0.0, 20, 1.0)
+    got = ours_speckles(d, 0.0, 20, 1.0)
+    np.testing.assert_array_equal(got, ref)
+    assert (got[10] == 0).all()
+    assert got[30, 10] == 3.0
+
+
 def test_speckle_large_smooth_region_not_fragmented():
     """Convergence property: a big smooth gradient region must never be
     deleted by under-converged labels fragmenting into small pieces."""

@@ -9,6 +9,8 @@ cv2.initUndistortRectifyMap (bit-exact), remap vs cv2.remap.
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 cv2 = pytest.importorskip("cv2")
 
 from depthestimation_tpu import calib as C
@@ -149,3 +151,37 @@ def test_calib_size_mismatch_warns():
     with pytest.warns(RuntimeWarning, match="does not match"):
         rl, rr = pipe.prepare_rectified(small, small)
     assert rl.shape == (SIZE[1], SIZE[0])
+
+
+def test_remap_banded_path_taken_and_exact():
+    """Rectification-shaped maps must take the banded (gather-free) path
+    and match the gather fallback exactly (VERDICT r3 #4)."""
+    from depthestimation_tpu.ops import remap as R
+
+    rng = np.random.default_rng(2)
+    img = rng.uniform(0, 255, (96, 128)).astype(np.float32)
+    yy, xx = np.mgrid[0:96, 0:128].astype(np.float32)
+    map_x = (xx * 1.01 - 1.2 + 2 * np.sin(yy / 31)).astype(np.float32)
+    map_y = (yy * 0.99 + 0.8 + 1.5 * np.cos(xx / 41)).astype(np.float32)
+    banded = R.remap_banded(img, map_x, map_y)
+    assert banded is not None, "rectification-scale maps must stay banded"
+    gather = R._remap_gather(img, jnp.asarray(map_x), jnp.asarray(map_y))
+    np.testing.assert_allclose(np.asarray(banded), np.asarray(gather),
+                               atol=1e-3)
+    ref = cv2.remap(img, map_x, map_y, cv2.INTER_LINEAR,
+                    borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    assert np.abs(np.asarray(banded) - ref).max() < 0.5
+
+
+def test_remap_wide_warp_falls_back():
+    from depthestimation_tpu.ops import remap as R
+
+    img = np.zeros((64, 64), np.float32)
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32)
+    # A transpose warp displaces both axes by +-H: far outside any sane
+    # rectification band.
+    map_x = yy.astype(np.float32)
+    map_y = xx.astype(np.float32)
+    assert R.remap_banded(img, map_x, map_y) is None
+    out = R.remap_bilinear(img + 1.0, map_x, map_y)  # must not crash
+    assert np.asarray(out).shape == (64, 64)
