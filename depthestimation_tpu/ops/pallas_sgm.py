@@ -141,10 +141,15 @@ K1_ROWS = 64  # output rows per band
 K1_XC = 128
 
 
-def _cost_kernel(u_hbm, u0_hbm, u1_hbm, v_hbm, v0_hbm, v1_hbm, out_ref,
-                 uw, u0w, u1w, vw, v0w, v1w, sems, *,
-                 d_real, dp, min_disp, block_size, w, rows, rows_al,
-                 xc, s_base, h, c_pad_val):
+def _cost_kernel(*refs, d_real, dp, min_disp, block_size, w, rows, rows_al,
+                 xc, s_base, h, c_pad_val, dual_out):
+    if dual_out:
+        (u_hbm, u0_hbm, u1_hbm, v_hbm, v0_hbm, v1_hbm, out_ref,
+         out_rm_ref, uw, u0w, u1w, vw, v0w, v1w, sems) = refs
+    else:
+        (u_hbm, u0_hbm, u1_hbm, v_hbm, v0_hbm, v1_hbm, out_ref,
+         uw, u0w, u1w, vw, v0w, v1w, sems) = refs
+        out_rm_ref = None
     """Grid (row-bands, x-chunks). Per chunk, six small windows are DMA'd
     from HBM at dynamic offsets; every in-window access is then a *static*
     lane slice. For each output column x the (rows, Dp) cost tile is built
@@ -248,9 +253,18 @@ def _cost_kernel(u_hbm, u0_hbm, u1_hbm, v_hbm, v0_hbm, v1_hbm, out_ref,
         old = ring.pop(0)
         racc = None if len(ring) == 0 else racc - old
 
+    if out_rm_ref is not None:
+        # Row-major twin: one in-VMEM swapaxes per block (a local
+        # relayout) replaces the XLA transpose of the whole volume in
+        # HBM — the row sweeps consume this copy directly.
+        out_rm_ref[:] = jnp.swapaxes(out_ref[:], 0, 1)
+
 
 def bt_cost_volume_pallas(left, right, cfg):
-    """(H, W) grayscale pair -> x-major (Wp, Hp, Dp) int16 cost volume.
+    """(H, W) grayscale pair -> int16 cost volume in BOTH layouts:
+    (x-major (Wp, Hp, Dp), row-major (Hp, Wp, Dp)). The twin costs one
+    per-block in-VMEM swapaxes + a second HBM write — cheaper than the
+    whole-volume XLA transpose the row sweeps otherwise need.
 
     Prefilter + BT + SAD per costs.bt_cost_volume semantics (OpenCV
     calcPixelCostBT, stereo_core.py:63-75). Hp/Wp/Dp rounded up to
@@ -310,17 +324,31 @@ def bt_cost_volume_pallas(left, right, cfg):
         (K1_XC, K1_ROWS, dp), lambda i, j: (j, i, 0),
         memory_space=pltpu.VMEM,
     )
+    # Interpret mode (the CPU test path) skips the in-kernel twin — it
+    # triples interpretation time, and an XLA swapaxes is free on CPU.
+    # Dp > 128 also falls back to the XLA transpose: the in-kernel
+    # swapaxes at 256 lanes sent the Mosaic compile time through the
+    # roof (a 256d bench compile ran >40 min in round 4).
+    dual_out = not INTERPRET and dp <= LANE
+    out_rm_spec = pl.BlockSpec(
+        (K1_ROWS, K1_XC, dp), lambda i, j: (i, j, 0),
+        memory_space=pltpu.VMEM,
+    )
     kernel = functools.partial(
         _cost_kernel, d_real=d_real, dp=dp, min_disp=cfg.min_disp,
         block_size=bs, w=w, rows=K1_ROWS, rows_al=rows_al, xc=K1_XC,
-        s_base=s_base, h=h, c_pad_val=c_pad_val,
+        s_base=s_base, h=h, c_pad_val=c_pad_val, dual_out=dual_out,
     )
-    c_t = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(hp // K1_ROWS, wp // K1_XC),
         in_specs=[any_spec] * 6,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((wp, hp, dp), jnp.int16),
+        out_specs=(out_spec, out_rm_spec) if dual_out else out_spec,
+        out_shape=(
+            (jax.ShapeDtypeStruct((wp, hp, dp), jnp.int16),
+             jax.ShapeDtypeStruct((hp, wp, dp), jnp.int16))
+            if dual_out else jax.ShapeDtypeStruct((wp, hp, dp), jnp.int16)
+        ),
         scratch_shapes=[
             pltpu.VMEM((2, rows_al, uwin_al), jnp.float32),
             pltpu.VMEM((2, rows_al, uwin_al), jnp.float32),
@@ -336,6 +364,10 @@ def bt_cost_volume_pallas(left, right, cfg):
         ),
         interpret=INTERPRET,
     )(u, u0p, u1p, vr, v0r, v1r)
+    if dual_out:
+        c_t, c_rm = out
+    else:
+        c_t, c_rm = out, None
 
     if r > 0:
         # Patch the last r real columns with the reference's clamped-tap
@@ -351,7 +383,11 @@ def bt_cost_volume_pallas(left, right, cfg):
         block = block.at[:, :, d_real:].set(jnp.int16(c_pad_val))
         block = block.at[:, :h, :d_real].set(jnp.swapaxes(strip, 0, 1))
         c_t = c_t.at[w - r: w].set(block)
-    return c_t
+        if c_rm is not None:
+            c_rm = c_rm.at[:, w - r: w, :].set(jnp.swapaxes(block, 0, 1))
+    if c_rm is None:
+        c_rm = jnp.swapaxes(c_t, 0, 1)
+    return c_t, c_rm
 
 
 # ----------------------------------------------------------------------
@@ -406,12 +442,17 @@ def _sgm_step(l_prev, c, p2, e_up, e_dn):
 # ----------------------------------------------------------------------
 
 
-def _hscan_kernel(*refs, p1, p2, backward, accumulate, out_dtype, xc):
+def _hscan_kernel(*refs, p1, p2, backward, accumulate, out_dtype, xc,
+                  row_major_out):
     if accumulate:
-        c_ref, a_ref, out_ref, carry = refs
+        c_ref, a_ref, out_ref = refs[:3]
+        scratch = refs[3:]
     else:
-        c_ref, out_ref, carry = refs
+        c_ref, out_ref = refs[:2]
+        scratch = refs[2:]
         a_ref = None
+    carry = scratch[0]
+    obuf = scratch[1] if row_major_out else None
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -434,7 +475,14 @@ def _hscan_kernel(*refs, p1, p2, backward, accumulate, out_dtype, xc):
             o = a_ref[i].astype(jnp.int32) + l_prev
         else:
             o = l_prev
-        out_ref[i] = o.astype(out_dtype)
+        if row_major_out:
+            obuf[i] = o.astype(out_dtype)
+        else:
+            out_ref[i] = o.astype(out_dtype)
+    if row_major_out:
+        # One in-VMEM swapaxes per block writes the row-major layout the
+        # row sweeps consume — replaces a whole-volume XLA transpose.
+        out_ref[:] = jnp.swapaxes(obuf[:], 0, 1)
     carry[:] = l_prev
 
 
@@ -449,15 +497,17 @@ def _hs_rows(h, d, dtypes) -> int:
     return rows
 
 
-def hsweep_pallas(cost_t, acc_t, p1, p2, backward, out_dtype=jnp.int16):
+def hsweep_pallas(cost_t, acc_t, p1, p2, backward, out_dtype=jnp.int16,
+                  row_major_out=False):
     """One horizontal SGM sweep over the TRANSPOSED cost volume.
 
-    Operands and result are x-major: (Wp, Hp, Dp). The scan axis being the
-    leading (untiled) block dimension is what makes every per-step access a
+    Operands are x-major: (Wp, Hp, Dp). The scan axis being the leading
+    (untiled) block dimension is what makes every per-step access a
     whole-tile read/write; in row-major (Hp, Wp, Dp) each step would be a
     strided sublane gather (measured: ~10x slower and ~20x the compile
-    time). The orchestrator moves between layouts with XLA swapaxes — a
-    strided-DMA copy, no compute.
+    time). With row_major_out the result is written (Hp, Wp, Dp) via one
+    in-VMEM block swapaxes — the layout the row sweeps consume — instead
+    of a whole-volume XLA transpose afterwards.
 
     acc_t=None: returns L (out_dtype). acc_t given: returns acc_t + L."""
     w, h, d = cost_t.shape
@@ -467,21 +517,47 @@ def hsweep_pallas(cost_t, acc_t, p1, p2, backward, out_dtype=jnp.int16):
     else:
         index_map = lambda i, j: (j, i, 0)
 
+    if row_major_out and (INTERPRET or d > LANE):
+        # Interpret mode (CPU tests): the in-kernel block swapaxes only
+        # slows interpretation; an XLA transpose is free there. D > 128
+        # also falls back (Mosaic compile blowup, see K1's dual_out).
+        out = hsweep_pallas(cost_t, acc_t, p1, p2, backward,
+                            out_dtype=out_dtype, row_major_out=False)
+        return jnp.swapaxes(out, 0, 1)
+
     ins = [cost_t] if acc_t is None else [cost_t, acc_t]
-    rows = _hs_rows(h, d, [x.dtype for x in ins] + [out_dtype])
+    dtypes = [x.dtype for x in ins] + [out_dtype]
+    if row_major_out:
+        dtypes.append(out_dtype)  # the in-kernel (xc, rows, d) buffer
+    rows = _hs_rows(h, d, dtypes)
     spec = pl.BlockSpec((HS_XC, rows, d), index_map, memory_space=pltpu.VMEM)
+    if row_major_out:
+        rm_index_map = (
+            (lambda i, j: (i, nchunks - 1 - j, 0)) if backward
+            else (lambda i, j: (i, j, 0))
+        )
+        out_spec = pl.BlockSpec((rows, HS_XC, d), rm_index_map,
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((h, w, d), out_dtype)
+    else:
+        out_spec = spec
+        out_shape = jax.ShapeDtypeStruct((w, h, d), out_dtype)
 
     kernel = functools.partial(
         _hscan_kernel, p1=p1, p2=p2, backward=backward,
         accumulate=acc_t is not None, out_dtype=out_dtype, xc=HS_XC,
+        row_major_out=row_major_out,
     )
+    scratch = [pltpu.VMEM((rows, d), jnp.int32)]
+    if row_major_out:
+        scratch.append(pltpu.VMEM((HS_XC, rows, d), out_dtype))
     return pl.pallas_call(
         kernel,
         grid=(h // rows, nchunks),
         in_specs=[spec] * len(ins),
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((w, h, d), out_dtype),
-        scratch_shapes=[pltpu.VMEM((rows, d), jnp.int32)],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_BUDGET + 16 * 2**20,
@@ -740,20 +816,20 @@ def sgm_disparity(left, right, cfg):
         raise NotImplementedError
 
     acc_dt = _acc_dtype(cfg)
-    # K1 emits the volume x-major; the horizontal sweeps consume it in
-    # that layout directly. The two swapaxes (cost + accumulated sum into
-    # the row-sweeps' row-major layout) are strided-DMA copies — far
-    # cheaper than strided sublane access inside the scan kernels.
-    c_t = bt_cost_volume_pallas(
+    # K1 emits the volume in BOTH layouts (x-major for the horizontal
+    # sweeps, row-major for the row sweeps) via a per-block in-VMEM
+    # swapaxes; K2's accumulate pass writes row-major the same way — so
+    # no whole-volume XLA transpose ever runs (measured ~1.6 ms each at
+    # 1080p/128d).
+    c_t, c = bt_cost_volume_pallas(
         left.astype(jnp.float32), right.astype(jnp.float32), cfg
     )
-    c = jnp.swapaxes(c_t, 0, 1)
 
     p1, p2 = cfg.p1, cfg.p2
     lw_t = hsweep_pallas(c_t, None, p1, p2, backward=False,
                          out_dtype=jnp.int16)
-    swe_t = hsweep_pallas(c_t, lw_t, p1, p2, backward=True, out_dtype=acc_dt)
-    swe = jnp.swapaxes(swe_t, 0, 1)
+    swe = hsweep_pallas(c_t, lw_t, p1, p2, backward=True, out_dtype=acc_dt,
+                        row_major_out=True)
 
     paths = cfg.num_paths
     if paths == 3:

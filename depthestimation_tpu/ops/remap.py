@@ -29,12 +29,73 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["remap_bilinear", "remap_banded"]
 
 # Widest displacement band the shifted-plane sum may use: beyond
 # ~(33 x 33) taps the arithmetic beats the gather no longer.
 _MAX_BANDED_TERMS = 1200
+
+LANE = 128
+_ROWS = 16  # output rows per banded-remap kernel grid step
+INTERPRET = False  # interpreter mode for CPU tests of the Pallas kernel
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _remap_band_kernel(img_hbm, mx_ref, my_ref, out_ref, win, sem, *,
+                       rows, rows_ext, pad_t, w_real, wp,
+                       dy_lo, dy_hi, dx_lo, dx_hi):
+    """One row band of the banded bilinear remap.
+
+    The input window (all source rows any output row of the band can
+    touch) is DMA'd once; each x-offset in the band is ONE lane roll of
+    the window, each y-offset a static sublane slice — per (dy, dx) term
+    the update is two multiplies and an add. No gathers anywhere."""
+    i = pl.program_id(0)
+    cp = pltpu.make_async_copy(
+        img_hbm.at[pl.ds(i * rows, rows_ext), :], win, sem
+    )
+    cp.start()
+    cp.wait()
+
+    mx = mx_ref[...]
+    my = my_ref[...]
+    sub = jax.lax.broadcasted_iota(jnp.float32, (rows, wp), 0)
+    lane = jax.lax.broadcasted_iota(jnp.float32, (rows, wp), 1)
+    x0f = jnp.floor(mx)
+    y0f = jnp.floor(my)
+    fx = mx - x0f
+    fy = my - y0f
+    dx0 = x0f - lane
+    dy0 = y0f - (jnp.float32(i * rows) + sub)
+
+    # Horizontal weights per x-offset (shared across all y-offsets),
+    # masked where the tap leaves the real image (cv2 border constant 0).
+    wx = []
+    for bx in range(dx_lo, dx_hi + 2):
+        wgt = (jnp.where(dx0 == bx, 1.0 - fx, 0.0)
+               + jnp.where(dx0 == bx - 1, fx, 0.0))
+        inb = (lane + bx >= 0) & (lane + bx < w_real)
+        wx.append(jnp.where(inb, wgt, 0.0))
+
+    wy = [
+        (jnp.where(dy0 == by, 1.0 - fy, 0.0)
+         + jnp.where(dy0 == by - 1, fy, 0.0))
+        for by in range(dy_lo, dy_hi + 2)
+    ]
+
+    out = jnp.zeros((rows, wp), jnp.float32)
+    for k, bx in enumerate(range(dx_lo, dx_hi + 2)):
+        rolled = pltpu.roll(win[...], (-bx) % wp, 1)
+        for j, by in enumerate(range(dy_lo, dy_hi + 2)):
+            plane = rolled[pad_t + by: pad_t + by + rows, :]
+            out = out + (wy[j] * wx[k]) * plane
+    out_ref[...] = out
 
 
 def _band(map_c: np.ndarray, idx_axis: int, size: int):
@@ -85,10 +146,58 @@ def _banded_fn(h, w, dy_lo, dy_hi, dx_lo, dx_hi):
     return run
 
 
+@functools.lru_cache(maxsize=16)
+def _banded_pallas_fn(h, w, dy_lo, dy_hi, dx_lo, dx_hi):
+    rows = _ROWS
+    hp = _round_up(h, rows)
+    wp = _round_up(w, LANE)
+    pad_t = max(0, -dy_lo)
+    rows_ext = _round_up(pad_t + rows + max(dy_hi, 0) + 2, 8)
+    nbands = hp // rows
+    img_rows = (nbands - 1) * rows + rows_ext
+
+    @jax.jit
+    def run(img, map_x, map_y):
+        imgp = jnp.zeros((img_rows, wp), jnp.float32)
+        imgp = imgp.at[pad_t: pad_t + h, :w].set(img.astype(jnp.float32))
+        # Pad rows/cols of the maps point far outside -> zero weights.
+        mxp = jnp.full((hp, wp), -1e9, jnp.float32).at[:h, :w].set(map_x)
+        myp = jnp.full((hp, wp), -1e9, jnp.float32).at[:h, :w].set(map_y)
+        map_spec = pl.BlockSpec((rows, wp), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(
+                _remap_band_kernel, rows=rows, rows_ext=rows_ext,
+                pad_t=pad_t, w_real=w, wp=wp,
+                dy_lo=dy_lo, dy_hi=dy_hi, dx_lo=dx_lo, dx_hi=dx_hi,
+            ),
+            grid=(nbands,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      map_spec, map_spec],
+            out_specs=map_spec,
+            out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((rows_ext, wp), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 2**20,
+            ),
+            interpret=INTERPRET,
+        )(imgp, mxp, myp)
+        return out[:h, :w]
+
+    return run
+
+
 def remap_banded(img, map_x: np.ndarray, map_y: np.ndarray):
     """Exact banded remap; maps must be host numpy arrays (static — they
     come from the calibration cache). Returns None when the displacement
-    band is too wide to be profitable."""
+    band is too wide to be profitable.
+
+    On TPU the shifted-plane sum runs as a Pallas kernel (window DMA +
+    lane rolls, everything in VMEM); elsewhere as plain XLA ops."""
     h, w = map_x.shape
     if tuple(img.shape) != (h, w):
         return None  # banded shifts assume img and map grids coincide
@@ -97,7 +206,10 @@ def remap_banded(img, map_x: np.ndarray, map_y: np.ndarray):
     terms = (dy_hi - dy_lo + 2) * (dx_hi - dx_lo + 2)
     if terms > _MAX_BANDED_TERMS:
         return None
-    fn = _banded_fn(h, w, dy_lo, dy_hi, dx_lo, dx_hi)
+    if jax.default_backend() == "tpu" or INTERPRET:
+        fn = _banded_pallas_fn(h, w, dy_lo, dy_hi, dx_lo, dx_hi)
+    else:
+        fn = _banded_fn(h, w, dy_lo, dy_hi, dx_lo, dx_hi)
     return fn(img, jnp.asarray(map_x), jnp.asarray(map_y))
 
 

@@ -75,6 +75,7 @@ def test_save_load_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss():
     from depthestimation_tpu.models.train import (
         make_sharded_train_state, make_train_step,

@@ -185,3 +185,25 @@ def test_remap_wide_warp_falls_back():
     assert R.remap_banded(img, map_x, map_y) is None
     out = R.remap_bilinear(img + 1.0, map_x, map_y)  # must not crash
     assert np.asarray(out).shape == (64, 64)
+
+
+def test_remap_banded_pallas_matches_xla():
+    """The Pallas banded-remap kernel (TPU path) must match the XLA
+    shifted-plane implementation exactly (interpret mode)."""
+    from depthestimation_tpu.ops import remap as R
+
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0, 255, (48, 160)).astype(np.float32)
+    yy, xx = np.mgrid[0:48, 0:160].astype(np.float32)
+    map_x = (xx * 1.02 - 2.1 + 1.5 * np.sin(yy / 13)).astype(np.float32)
+    map_y = (yy * 0.98 + 1.3 + 1.2 * np.cos(xx / 29)).astype(np.float32)
+    ref = np.asarray(R.remap_banded(img, map_x, map_y))
+    R.INTERPRET = True
+    try:
+        got = np.asarray(R.remap_banded(img, map_x, map_y))
+    finally:
+        R.INTERPRET = False
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+    cvref = cv2.remap(img, map_x, map_y, cv2.INTER_LINEAR,
+                      borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    assert np.abs(got - cvref).max() < 0.5

@@ -64,21 +64,15 @@ def main():
     total = 0.0
     _, ms = bench("dispatch overhead (x+1)", lambda l, r: l[:8, :8] + 1.0,
                   left, right)
-    ct, ms = bench("K1 cost_volume (t)", lambda l, r: P.bt_cost_volume_pallas(
-        l, r, cfg), left, right)
-    total += ms
-    c, ms = bench("transpose Ct->C (XLA)", lambda ct: jnp.swapaxes(
-        ct, 0, 1), ct)
+    (ct, c), ms = bench("K1 cost_volume (dual)", lambda l, r:
+        P.bt_cost_volume_pallas(l, r, cfg), left, right)
     total += ms
     lw, ms = bench("K2 hsweep fwd (t)", lambda ct: P.hsweep_pallas(
         ct, None, cfg.p1, cfg.p2, backward=False), ct)
     total += ms
-    swe_t, ms = bench("K2 hsweep bwd+acc (t)", lambda ct, lw: P.hsweep_pallas(
+    swe, ms = bench("K2 hsweep bwd+acc (rm)", lambda ct, lw: P.hsweep_pallas(
         ct, lw, cfg.p1, cfg.p2, backward=True,
-        out_dtype=P._acc_dtype(cfg)), ct, lw)
-    total += ms
-    swe, ms = bench("transpose St->S (XLA)", lambda s: jnp.swapaxes(
-        s, 0, 1), swe_t)
+        out_dtype=P._acc_dtype(cfg), row_major_out=True), ct, lw)
     total += ms
     s3, ms = bench("K3 rowsweep down", lambda c, a: P.rowsweep_pallas(
         c, a, cfg, [0], False, False, out_dtype=P._acc_dtype(cfg)), c, swe)
