@@ -70,12 +70,19 @@ def median3x3(x: jax.Array) -> jax.Array:
 
 def box_mean(x: jax.Array, k: int) -> jax.Array:
     """k x k box mean with reflected borders (cv2.boxFilter default
-    BORDER_REFLECT_101, normalize=True)."""
+    BORDER_REFLECT_101, normalize=True).
+
+    Separable: two 1-D reduce_windows (2k taps/pixel) instead of one 2-D
+    window (k^2 taps) — at the WLS radius (k=17) that is ~8x less work."""
     r = k // 2
     p = jnp.pad(x.astype(jnp.float32), r, mode="reflect")
     s = jax.lax.reduce_window(
         p, jnp.float32(0), jax.lax.add,
-        window_dimensions=(k, k), window_strides=(1, 1), padding="VALID",
+        window_dimensions=(k, 1), window_strides=(1, 1), padding="VALID",
+    )
+    s = jax.lax.reduce_window(
+        s, jnp.float32(0), jax.lax.add,
+        window_dimensions=(1, k), window_strides=(1, 1), padding="VALID",
     )
     return s / (k * k)
 

@@ -3,9 +3,9 @@
 Replaces the XLA reference implementations in ops/costs.py, ops/sgm.py and
 ops/wta.py on TPU (reference semantics: cv2.StereoSGBM internals,
 stereo_core.py:63-75,231). The design goal is minimum HBM traffic: every
-volume is int16, every kernel fuses as many scan directions as its data
-order allows, and the WTA reduction is folded into the last sweep so the
-final aggregated volume is never written to memory.
+volume is int16 and every kernel fuses as many scan directions as its
+data order allows; layout moves between kernels are XLA transposes
+(strided-DMA copies, measured ~1.6 ms each at 1080p/128d).
 
 Kernel pipeline (volumes are (Hp, Wp, Dp) with D on lanes; Hp/Wp/Dp are the
 image/disparity sizes padded to band/lane multiples — padding is *exact*,
@@ -16,9 +16,11 @@ see `Padding` below):
                per output column one (rows, Dp) tile is built from a lane
                slice of each x-reversed right slab (ascending d ==
                ascending reversed x), y-summed in-tile, and the x window
-               is a ring of block_size y-sums. int16 out; the last r real
-               columns are patched by the XLA reference for OpenCV's
-               cost-row edge replication.
+               is a RUNNING sum over a ring of block_size y-sums. int16
+               out; the last r real columns are patched by the XLA
+               reference for OpenCV's cost-row edge replication. The
+               row-major twin the row sweeps read is an XLA transpose
+               (strided-DMA copy; A/B-tested equal to in-kernel emits).
   K2 hscan     grid (row-bands, x-chunks). Horizontal L->R scan; the
                R->L scan runs with reversed x-chunk index maps and fuses
                the accumulate (S_we = L_lr + L_rl). Blocks are tall and
@@ -31,17 +33,19 @@ see `Padding` below):
                directions in one pass: vertical and both diagonals differ
                only by a per-row sublane shift of the carry. Chunk offsets
                are static so int16 blocks are sliced directly (no int32
-               staging pass). Fuses the accumulate; optionally fuses K4.
-  K4 WTA       argmin + OpenCV uniqueness + integer subpixel on the 1/16
-               grid, fused into the last rowsweep so the final S volume
-               never exists in HBM. The OpenCV scatter-min LR check runs
-               outside on the (H, W) maps (ops/wta.lr_invalidate).
+               staging pass). Fuses the accumulate; the last pass emits
+               the full aggregated volume S (int16).
+  WTA tail     argmin + OpenCV uniqueness + integer subpixel + LR run as
+               XLA ops on S (ops/wta.wta_disparity): XLA's minor-dim
+               reduces beat an in-kernel rotate-tree argmin ~2x measured
+               on-chip (round 4), and multi-output fusion computes
+               min/argmin/cm/cp/competitor in ~2 volume passes.
 
 Mode composition (path sets from ops/sgm._PATHS; modes stereo_core.py:55-61):
-  sgbm_3way: K1 -> K2(fwd) -> K2(bwd+acc) -> K3([N], WTA)
-  hh4:       K1 -> K2 -> K2 -> K3([N]) -> K3([S], WTA)
-  sgbm:      K1 -> K2 -> K2 -> K3([N, NW, NE], WTA)
-  hh:        K1 -> K2 -> K2 -> K3([N, NW, NE]) -> K3([S, SE, SW], WTA)
+  sgbm_3way: K1 -> K2(fwd) -> K2(bwd+acc) -> K3([N]) -> WTA tail
+  hh4:       K1 -> K2 -> K2 -> K3([N]) -> K3([S]) -> WTA tail
+  sgbm:      K1 -> K2 -> K2 -> K3([N, NW, NE]) -> WTA tail
+  hh:        K1 -> K2 -> K2 -> K3([N, NW, NE]) -> K3([S, SE, SW]) -> WTA tail
 
 Padding (all exact, validated by the bit-exactness suite):
   rows/cols: zero-cost pad rows (bottom) and cols (right). A zero-cost
@@ -50,9 +54,9 @@ Padding (all exact, validated by the bit-exactness suite):
     XLA reference uses.
   disparities: pad lanes get C_pad = Cmax + 2*P2. Any lane with cost
     >= Cmax + 2*P2 keeps L_pad >= C_pad >= min-over-real-lanes + (P2 - P1)
-    at every step, so pad lanes never win the running min, never undercut
-    the P2 escape of the last real lane's d+1 neighbor, and never win the
-    WTA argmin or its uniqueness competitor.
+    at every step, so pad lanes never win the running min and never
+    undercut the P2 escape of the last real lane's d+1 neighbor; the WTA
+    tail slices them off before its reductions.
 
 Storage dtypes are int16 whenever the worst-case magnitude
 k * (Cmax + 3*P2) (k = number of directions summed into the stored
@@ -105,8 +109,9 @@ def _ldir_bound(cfg) -> int:
 
 
 def _stored_paths(cfg) -> int:
-    """Directions summed into the largest *stored* partial sum: the final
-    pass's sum lives only in WTA registers."""
+    """Directions summed into the largest *intermediate* stored partial
+    sum (the final pass's full sum always fits int16 for OpenCV's
+    parameter range: num_paths * (Cmax + 3*P2) <= 31600)."""
     return {3: 2, 4: 3, 5: 2, 8: 5}[cfg.num_paths]
 
 
@@ -141,22 +146,18 @@ K1_ROWS = 64  # output rows per band
 K1_XC = 128
 
 
-def _cost_kernel(*refs, d_real, dp, min_disp, block_size, w, rows, rows_al,
-                 xc, s_base, h, c_pad_val, dual_out):
-    if dual_out:
-        (u_hbm, u0_hbm, u1_hbm, v_hbm, v0_hbm, v1_hbm, out_ref,
-         out_rm_ref, uw, u0w, u1w, vw, v0w, v1w, sems) = refs
-    else:
-        (u_hbm, u0_hbm, u1_hbm, v_hbm, v0_hbm, v1_hbm, out_ref,
-         uw, u0w, u1w, vw, v0w, v1w, sems) = refs
-        out_rm_ref = None
+def _cost_kernel(u_hbm, u0_hbm, u1_hbm, v_hbm, v0_hbm, v1_hbm, out_ref,
+                 uw, u0w, u1w, vw, v0w, v1w, sems, *,
+                 d_real, dp, min_disp, block_size, w, rows, rows_al,
+                 xc, s_base, h, c_pad_val):
     """Grid (row-bands, x-chunks). Per chunk, six small windows are DMA'd
     from HBM at dynamic offsets; every in-window access is then a *static*
     lane slice. For each output column x the (rows, Dp) cost tile is built
     from one lane slice per right-image slab — the right slabs are stored
     x-REVERSED so the D axis of C(x, y, d) = f(right[x - min_disp - d]) is
-    a contiguous, ascending lane range. A ring of block_size y-summed
-    tiles turns the SAD x-window into (bs - 1) adds per column."""
+    a contiguous, ascending lane range. A running sum over a ring of
+    block_size y-summed tiles turns the SAD x-window into one add + one
+    subtract per column."""
     r = block_size // 2
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -253,12 +254,6 @@ def _cost_kernel(*refs, d_real, dp, min_disp, block_size, w, rows, rows_al,
         old = ring.pop(0)
         racc = None if len(ring) == 0 else racc - old
 
-    if out_rm_ref is not None:
-        # Row-major twin: one in-VMEM swapaxes per block (a local
-        # relayout) replaces the XLA transpose of the whole volume in
-        # HBM — the row sweeps consume this copy directly.
-        out_rm_ref[:] = jnp.swapaxes(out_ref[:], 0, 1)
-
 
 def bt_cost_volume_pallas(left, right, cfg):
     """(H, W) grayscale pair -> int16 cost volume in BOTH layouts:
@@ -324,31 +319,17 @@ def bt_cost_volume_pallas(left, right, cfg):
         (K1_XC, K1_ROWS, dp), lambda i, j: (j, i, 0),
         memory_space=pltpu.VMEM,
     )
-    # Interpret mode (the CPU test path) skips the in-kernel twin — it
-    # triples interpretation time, and an XLA swapaxes is free on CPU.
-    # Dp > 128 also falls back to the XLA transpose: the in-kernel
-    # swapaxes at 256 lanes sent the Mosaic compile time through the
-    # roof (a 256d bench compile ran >40 min in round 4).
-    dual_out = not INTERPRET and dp <= LANE
-    out_rm_spec = pl.BlockSpec(
-        (K1_ROWS, K1_XC, dp), lambda i, j: (i, j, 0),
-        memory_space=pltpu.VMEM,
-    )
     kernel = functools.partial(
         _cost_kernel, d_real=d_real, dp=dp, min_disp=cfg.min_disp,
         block_size=bs, w=w, rows=K1_ROWS, rows_al=rows_al, xc=K1_XC,
-        s_base=s_base, h=h, c_pad_val=c_pad_val, dual_out=dual_out,
+        s_base=s_base, h=h, c_pad_val=c_pad_val,
     )
-    out = pl.pallas_call(
+    c_t = pl.pallas_call(
         kernel,
         grid=(hp // K1_ROWS, wp // K1_XC),
         in_specs=[any_spec] * 6,
-        out_specs=(out_spec, out_rm_spec) if dual_out else out_spec,
-        out_shape=(
-            (jax.ShapeDtypeStruct((wp, hp, dp), jnp.int16),
-             jax.ShapeDtypeStruct((hp, wp, dp), jnp.int16))
-            if dual_out else jax.ShapeDtypeStruct((wp, hp, dp), jnp.int16)
-        ),
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((wp, hp, dp), jnp.int16),
         scratch_shapes=[
             pltpu.VMEM((2, rows_al, uwin_al), jnp.float32),
             pltpu.VMEM((2, rows_al, uwin_al), jnp.float32),
@@ -364,10 +345,6 @@ def bt_cost_volume_pallas(left, right, cfg):
         ),
         interpret=INTERPRET,
     )(u, u0p, u1p, vr, v0r, v1r)
-    if dual_out:
-        c_t, c_rm = out
-    else:
-        c_t, c_rm = out, None
 
     if r > 0:
         # Patch the last r real columns with the reference's clamped-tap
@@ -383,11 +360,10 @@ def bt_cost_volume_pallas(left, right, cfg):
         block = block.at[:, :, d_real:].set(jnp.int16(c_pad_val))
         block = block.at[:, :h, :d_real].set(jnp.swapaxes(strip, 0, 1))
         c_t = c_t.at[w - r: w].set(block)
-        if c_rm is not None:
-            c_rm = c_rm.at[:, w - r: w, :].set(jnp.swapaxes(block, 0, 1))
-    if c_rm is None:
-        c_rm = jnp.swapaxes(c_t, 0, 1)
-    return c_t, c_rm
+    # Row-major twin for the row sweeps via an XLA transpose (a strided
+    # DMA copy; A/B-tested equal to emitting the twin in-kernel, and it
+    # compiles ~2x faster with no Dp=256 blowup).
+    return c_t, jnp.swapaxes(c_t, 0, 1)
 
 
 # ----------------------------------------------------------------------
@@ -442,17 +418,12 @@ def _sgm_step(l_prev, c, p2, e_up, e_dn):
 # ----------------------------------------------------------------------
 
 
-def _hscan_kernel(*refs, p1, p2, backward, accumulate, out_dtype, xc,
-                  row_major_out):
+def _hscan_kernel(*refs, p1, p2, backward, accumulate, out_dtype, xc):
     if accumulate:
-        c_ref, a_ref, out_ref = refs[:3]
-        scratch = refs[3:]
+        c_ref, a_ref, out_ref, carry = refs
     else:
-        c_ref, out_ref = refs[:2]
-        scratch = refs[2:]
+        c_ref, out_ref, carry = refs
         a_ref = None
-    carry = scratch[0]
-    obuf = scratch[1] if row_major_out else None
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -475,14 +446,7 @@ def _hscan_kernel(*refs, p1, p2, backward, accumulate, out_dtype, xc,
             o = a_ref[i].astype(jnp.int32) + l_prev
         else:
             o = l_prev
-        if row_major_out:
-            obuf[i] = o.astype(out_dtype)
-        else:
-            out_ref[i] = o.astype(out_dtype)
-    if row_major_out:
-        # One in-VMEM swapaxes per block writes the row-major layout the
-        # row sweeps consume — replaces a whole-volume XLA transpose.
-        out_ref[:] = jnp.swapaxes(obuf[:], 0, 1)
+        out_ref[i] = o.astype(out_dtype)
     carry[:] = l_prev
 
 
@@ -505,9 +469,9 @@ def hsweep_pallas(cost_t, acc_t, p1, p2, backward, out_dtype=jnp.int16,
     (untiled) block dimension is what makes every per-step access a
     whole-tile read/write; in row-major (Hp, Wp, Dp) each step would be a
     strided sublane gather (measured: ~10x slower and ~20x the compile
-    time). With row_major_out the result is written (Hp, Wp, Dp) via one
-    in-VMEM block swapaxes — the layout the row sweeps consume — instead
-    of a whole-volume XLA transpose afterwards.
+    time). With row_major_out the result comes back (Hp, Wp, Dp) via an
+    XLA transpose (a strided-DMA copy; A/B-tested equal to emitting the
+    transposed layout in-kernel, with ~2x faster compiles).
 
     acc_t=None: returns L (out_dtype). acc_t given: returns acc_t + L."""
     w, h, d = cost_t.shape
@@ -517,53 +481,28 @@ def hsweep_pallas(cost_t, acc_t, p1, p2, backward, out_dtype=jnp.int16,
     else:
         index_map = lambda i, j: (j, i, 0)
 
-    if row_major_out and (INTERPRET or d > LANE):
-        # Interpret mode (CPU tests): the in-kernel block swapaxes only
-        # slows interpretation; an XLA transpose is free there. D > 128
-        # also falls back (Mosaic compile blowup, see K1's dual_out).
-        out = hsweep_pallas(cost_t, acc_t, p1, p2, backward,
-                            out_dtype=out_dtype, row_major_out=False)
-        return jnp.swapaxes(out, 0, 1)
-
     ins = [cost_t] if acc_t is None else [cost_t, acc_t]
-    dtypes = [x.dtype for x in ins] + [out_dtype]
-    if row_major_out:
-        dtypes.append(out_dtype)  # the in-kernel (xc, rows, d) buffer
-    rows = _hs_rows(h, d, dtypes)
+    rows = _hs_rows(h, d, [x.dtype for x in ins] + [out_dtype])
     spec = pl.BlockSpec((HS_XC, rows, d), index_map, memory_space=pltpu.VMEM)
-    if row_major_out:
-        rm_index_map = (
-            (lambda i, j: (i, nchunks - 1 - j, 0)) if backward
-            else (lambda i, j: (i, j, 0))
-        )
-        out_spec = pl.BlockSpec((rows, HS_XC, d), rm_index_map,
-                                memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((h, w, d), out_dtype)
-    else:
-        out_spec = spec
-        out_shape = jax.ShapeDtypeStruct((w, h, d), out_dtype)
 
     kernel = functools.partial(
         _hscan_kernel, p1=p1, p2=p2, backward=backward,
         accumulate=acc_t is not None, out_dtype=out_dtype, xc=HS_XC,
-        row_major_out=row_major_out,
     )
-    scratch = [pltpu.VMEM((rows, d), jnp.int32)]
-    if row_major_out:
-        scratch.append(pltpu.VMEM((HS_XC, rows, d), out_dtype))
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(h // rows, nchunks),
         in_specs=[spec] * len(ins),
-        out_specs=out_spec,
-        out_shape=out_shape,
-        scratch_shapes=scratch,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((w, h, d), out_dtype),
+        scratch_shapes=[pltpu.VMEM((rows, d), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_BUDGET + 16 * 2**20,
         ),
         interpret=INTERPRET,
     )(*ins)
+    return jnp.swapaxes(out, 0, 1) if row_major_out else out
 
 
 # ----------------------------------------------------------------------
@@ -573,104 +512,9 @@ def hsweep_pallas(cost_t, acc_t, p1, p2, backward, out_dtype=jnp.int16,
 # ----------------------------------------------------------------------
 
 
-def _sum_lanes(x):
-    """All-lanes sum broadcast to every lane via a rotate-and-add tree.
-    ONLY correct for power-of-two lane counts (each lane is counted
-    exactly once iff the doubling shifts tile the ring)."""
-    d = x.shape[-1]
-    assert d & (d - 1) == 0
-    k = 1
-    while k < d:
-        x = x + pltpu.roll(x, k, x.ndim - 1)
-        k *= 2
-    return x
-
-
-def _trunc_div(a, b):
-    """C-style trunc-toward-zero integer division (b > 0), computed as a
-    float divide plus a one-step remainder correction. Mosaic has no
-    vector integer divide — jax.lax.div inside a kernel lowers to a
-    per-element scalar sequence that measured ~40 ms per WTA pass at
-    1080p. Float division is correctly rounded, so the truncated
-    candidate is within 1 of the true quotient; the corrections enforce
-    the exact C remainder contract (0 <= r < b for a >= 0, -b < r <= 0
-    for a < 0). Exact for |a| < 2^24 (f32-exact integers)."""
-    cand = jnp.trunc(a.astype(jnp.float32) / b.astype(jnp.float32))
-    cand = cand.astype(jnp.int32)
-    r = a - cand * b
-    pos = a >= 0
-    cand = cand + jnp.where(pos & (r >= b), 1, 0)
-    cand = cand - jnp.where(pos & (r < 0), 1, 0)
-    cand = cand + jnp.where(~pos & (r > 0), 1, 0)
-    cand = cand - jnp.where(~pos & (r <= -b), 1, 0)
-    return cand
-
-
-def _wta_row(s, *, d_real, min_disp, uniq, s_bound):
-    """WTA on one aggregated row s (Wp, Dp) int32 -> (disp, d0, min_s),
-    each (Wp, 1) — sublane-major, so the caller's map stores are masked
-    single-lane writes instead of a sublane->lane relayout per row.
-
-    Cost structure (everything here was measured on-chip; estimates lied):
-    pack/unpack uses shifts and masks, never int multiply/divide (signed
-    i32 division lowers to a long sequence); the min + argmin pair comes
-    from ONE packed rotate-min tree — key = (s << nb) | lane carries the
-    lowest cost and, among ties, the smallest disparity (OpenCV's
-    tie-break); the d0+-1 neighbor costs come from ONE packed rotate-sum
-    tree ((cm << 16) | cp — exact when the aggregated bound fits 15 bits
-    and Dp is a power of two) or two masked min trees otherwise; N=1 MXU
-    matmuls are avoided entirely (~20 ms each in this kernel)."""
-    big = jnp.int32(_BIG)
-    dp = s.shape[-1]
-    nb = max(dp - 1, 1).bit_length()  # key bits for the lane index
-    d_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
-
-    m = _min_lanes(jnp.bitwise_or(jnp.left_shift(s, nb), d_idx))
-    min_s = jax.lax.shift_right_logical(m, nb)
-    d0 = jnp.bitwise_and(m, (1 << nb) - 1)
-
-    is_m = d_idx == d0 - 1
-    is_p = d_idx == d0 + 1
-    if s_bound < 2**15 and dp & (dp - 1) == 0:
-        packed = jnp.where(is_m, jnp.left_shift(s, 16), 0) \
-            + jnp.where(is_p, s, 0)
-        t = _sum_lanes(packed)[:, :1]
-        cm = jax.lax.shift_right_logical(t, 16)
-        cp = jnp.bitwise_and(t, (1 << 16) - 1)
-    else:
-        cm = _min_lanes(jnp.where(is_m, s, big))[:, :1]
-        cp = _min_lanes(jnp.where(is_p, s, big))[:, :1]
-
-    min_s1 = min_s[:, :1]
-    d01 = d0[:, :1]
-    invalid = jnp.zeros(d01.shape, dtype=jnp.bool_)
-    if uniq > 0:
-        near = jnp.abs(d_idx - d0) <= 1
-        competitor = _min_lanes(jnp.where(near, big, s))[:, :1]
-        invalid = competitor * (100 - uniq) < min_s1 * 100
-
-    denom = jnp.maximum(cm + cp - 2 * min_s1, 1)
-    delta16 = _trunc_div((cm - cp) * 16 + denom, 2 * denom)
-    interior = (d01 > 0) & (d01 < d_real - 1)
-    delta16 = jnp.where(interior, delta16, 0)
-    disp16 = (min_disp + d01) * 16 + delta16
-    disp = disp16.astype(jnp.float32) / 16.0
-    disp = jnp.where(invalid, jnp.float32(min_disp - 1), disp)
-    # LR consistency runs outside on these maps (ops/wta.lr_invalidate);
-    # uniqueness-rejected pixels are excluded as claimants via big cost.
-    min_s1 = jnp.where(invalid, big, min_s1)
-    return disp, d01, min_s1
-
-
-def _rowsweep_kernel(c_ref, a_ref, *rest, p1, p2, dxs, reverse, rows,
-                     wta, out_dtype, d_real, min_disp, uniq, s_bound):
+def _rowsweep_kernel(c_ref, a_ref, out_ref, *scratch, p1, p2, dxs,
+                     reverse, rows, out_dtype):
     has_diag = any(dx != 0 for dx in dxs)
-    if wta:
-        disp_ref, d0_ref, mins_ref = rest[:3]
-        scratch = rest[3:]
-    else:
-        out_ref = rest[0]
-        scratch = rest[1:]
     carry = scratch[0]
     shifted = scratch[1] if has_diag else None
     i = pl.program_id(0)
@@ -708,17 +552,7 @@ def _rowsweep_kernel(c_ref, a_ref, *rest, p1, p2, dxs, reverse, rows,
             l_cur = _sgm_step(prev, c, p2, e_up, e_dn)
             carry[t, :, :] = l_cur
             total = total + l_cur
-        if wta:
-            disp, d0, mins = _wta_row(total, d_real=d_real,
-                                      min_disp=min_disp, uniq=uniq,
-                                      s_bound=s_bound)
-            # Maps are emitted lane-minor (band, W, rows): one masked
-            # single-lane store per row, no sublane->lane relayout.
-            disp_ref[0, :, rr: rr + 1] = disp
-            d0_ref[0, :, rr: rr + 1] = d0
-            mins_ref[0, :, rr: rr + 1] = mins
-        else:
-            out_ref[rr, :, :] = total.astype(out_dtype)
+        out_ref[rr, :, :] = total.astype(out_dtype)
 
 
 def _rs_rows(h, w, d, dtypes, ndirs, has_diag, cap=8) -> int:
@@ -737,17 +571,20 @@ def _rs_rows(h, w, d, dtypes, ndirs, has_diag, cap=8) -> int:
 
 
 def rowsweep_pallas(cost, acc, cfg, dxs: Sequence[int], reverse: bool,
-                    wta: bool, out_dtype=jnp.int16):
+                    wta: bool = False, out_dtype=jnp.int16):
     """acc + sum of row-direction sweeps; dy = +1 (or -1 with reverse).
 
     dxs lists the column offsets of the propagation directions, e.g.
-    [0] = vertical, [0, 1, -1] = vertical + both diagonals. With wta=True
-    returns (disp_nolr, d0, min_s) maps (Hp, Wp) instead of the volume."""
+    [0] = vertical, [0, 1, -1] = vertical + both diagonals. Returns the
+    accumulated volume; the WTA itself runs as an XLA tail in
+    sgm_disparity (XLA's minor-dim reduces beat an in-kernel
+    rotate-tree argmin ~2x, measured on-chip). `wta` is retained for
+    signature compatibility and must be False."""
+    assert not wta, "fused WTA was removed; use the XLA tail (ops/wta)"
     h, w, d = cost.shape
     has_diag = any(dx != 0 for dx in dxs)
-    dtypes = [cost.dtype, acc.dtype] + ([] if wta else [out_dtype])
-    rows = _rs_rows(h, w, d, dtypes, len(dxs), has_diag,
-                    cap=8)
+    dtypes = [cost.dtype, acc.dtype, out_dtype]
+    rows = _rs_rows(h, w, d, dtypes, len(dxs), has_diag, cap=8)
     nbands = h // rows
 
     if reverse:
@@ -755,40 +592,22 @@ def rowsweep_pallas(cost, acc, cfg, dxs: Sequence[int], reverse: bool,
     else:
         index_map = lambda i: (i, 0, 0)
     vol_spec = pl.BlockSpec((rows, w, d), index_map, memory_space=pltpu.VMEM)
-    # Maps are produced lane-minor (nbands, w, rows) — WTA results are
-    # sublane-major (W on sublanes), so row stores are masked single-lane
-    # writes; the (w, rows) trailing block dims equal the array's, which
-    # keeps the tiny rows dim legal. Rearranged to (h, w) afterwards.
-    map_spec = pl.BlockSpec((1, w, rows), index_map, memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
         _rowsweep_kernel, p1=cfg.p1, p2=cfg.p2, dxs=tuple(dxs),
-        reverse=reverse, rows=rows, wta=wta, out_dtype=out_dtype,
-        d_real=cfg.num_disp, min_disp=cfg.min_disp,
-        uniq=cfg.uniqueness_ratio,
-        s_bound=cfg.num_paths * _ldir_bound(cfg),
+        reverse=reverse, rows=rows, out_dtype=out_dtype,
     )
-    if wta:
-        out_specs = (map_spec, map_spec, map_spec)
-        out_shape = (
-            jax.ShapeDtypeStruct((nbands, w, rows), jnp.float32),
-            jax.ShapeDtypeStruct((nbands, w, rows), jnp.int32),
-            jax.ShapeDtypeStruct((nbands, w, rows), jnp.int32),
-        )
-    else:
-        out_specs = vol_spec
-        out_shape = jax.ShapeDtypeStruct((h, w, d), out_dtype)
     scratch = [
         pltpu.VMEM((len(dxs), w, d), jnp.int32),  # carries
     ]
     if has_diag:
         scratch.append(pltpu.VMEM((len(dxs), w, d), jnp.int32))
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(nbands,),
         in_specs=[vol_spec, vol_spec],
-        out_specs=out_specs,
-        out_shape=out_shape,
+        out_specs=vol_spec,
+        out_shape=jax.ShapeDtypeStruct((h, w, d), out_dtype),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -796,10 +615,6 @@ def rowsweep_pallas(cost, acc, cfg, dxs: Sequence[int], reverse: bool,
         ),
         interpret=INTERPRET,
     )(cost, acc)
-    if wta:
-        # (nbands, w, rows) -> (nbands, rows, w) -> (h, w).
-        return tuple(m.transpose(0, 2, 1).reshape(h, w) for m in out)
-    return out
 
 
 # ----------------------------------------------------------------------
@@ -831,26 +646,30 @@ def sgm_disparity(left, right, cfg):
     swe = hsweep_pallas(c_t, lw_t, p1, p2, backward=True, out_dtype=acc_dt,
                         row_major_out=True)
 
+    # Final sweep materializes the aggregated volume S (int16: the full
+    # sum is bounded by num_paths * (Cmax + 3*P2) <= 31600 for OpenCV's
+    # parameter range) and the WTA runs as an XLA tail: XLA's minor-dim
+    # reduces beat the in-kernel rotate-tree argmin measured head-to-head
+    # (min+argmin 2.8 ms vs 6.6 ms per 1080p frame; whole tail incl. LR
+    # 15.2 ms vs 20.5 ms fused), and the extra S write costs ~0.7 ms.
     paths = cfg.num_paths
     if paths == 3:
-        disp, d0, min_s = rowsweep_pallas(c, swe, cfg, [0], False, True)
+        s = rowsweep_pallas(c, swe, cfg, [0], False, False,
+                            out_dtype=jnp.int16)
     elif paths == 4:
         s3 = rowsweep_pallas(c, swe, cfg, [0], False, False, out_dtype=acc_dt)
-        disp, d0, min_s = rowsweep_pallas(c, s3, cfg, [0], True, True)
+        s = rowsweep_pallas(c, s3, cfg, [0], True, False,
+                            out_dtype=jnp.int16)
     elif paths == 5:
-        disp, d0, min_s = rowsweep_pallas(c, swe, cfg, [0, 1, -1], False,
-                                          True)
+        s = rowsweep_pallas(c, swe, cfg, [0, 1, -1], False, False,
+                            out_dtype=jnp.int16)
     else:  # 8
         s5 = rowsweep_pallas(c, swe, cfg, [0, 1, -1], False, False,
                              out_dtype=acc_dt)
-        disp, d0, min_s = rowsweep_pallas(c, s5, cfg, [0, -1, 1], True, True)
+        s = rowsweep_pallas(c, s5, cfg, [0, -1, 1], True, False,
+                            out_dtype=jnp.int16)
 
-    disp, d0, min_s = disp[:h, :w], d0[:h, :w], min_s[:h, :w]
-    if cfg.disp12_max_diff >= 0:
-        from .wta import lr_invalidate
+    from .wta import wta_disparity
 
-        valid = min_s < _BIG
-        bad = lr_invalidate(d0, min_s, valid, cfg.disp12_max_diff,
-                            cfg.min_disp, num_disp=cfg.num_disp)
-        disp = jnp.where(bad, jnp.float32(cfg.min_disp - 1), disp)
-    return disp
+    return wta_disparity(s[:h, :w, : cfg.num_disp], cfg.min_disp,
+                         cfg.uniqueness_ratio, cfg.disp12_max_diff)

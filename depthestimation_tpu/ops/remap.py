@@ -65,8 +65,11 @@ def _remap_band_kernel(img_hbm, mx_ref, my_ref, out_ref, win, sem, *,
 
     mx = mx_ref[...]
     my = my_ref[...]
-    sub = jax.lax.broadcasted_iota(jnp.float32, (rows, wp), 0)
-    lane = jax.lax.broadcasted_iota(jnp.float32, (rows, wp), 1)
+    # Mosaic iota must be integer-typed; cast to f32 afterwards.
+    sub = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 0).astype(
+        jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 1).astype(
+        jnp.float32)
     x0f = jnp.floor(mx)
     y0f = jnp.floor(my)
     fx = mx - x0f

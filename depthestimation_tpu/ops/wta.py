@@ -87,13 +87,16 @@ def wta_disparity(
     Returns float32 (H, W) disparity in pixels (including min_disp and the
     /16 sub-pixel quantization); invalid pixels = min_disp - 1.
     """
-    s = jnp.round(s).astype(jnp.int32)
+    if not jnp.issubdtype(s.dtype, jnp.integer):
+        s = jnp.round(s)
+    s = s.astype(jnp.int32)
     num_d = s.shape[-1]
 
+    # min + argmin in one fused variadic reduce; argmin's first-index
+    # tie-break IS OpenCV's smallest-d rule.
     min_s = jnp.min(s, axis=-1)
+    d0 = jnp.argmin(s, axis=-1).astype(jnp.int32)
     d_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-    is_min = s == min_s[..., None]
-    d0 = jnp.min(jnp.where(is_min, d_idx, num_d), axis=-1)
 
     cm = jnp.min(jnp.where(d_idx == d0[..., None] - 1, s, _BIG), axis=-1)
     cp = jnp.min(jnp.where(d_idx == d0[..., None] + 1, s, _BIG), axis=-1)

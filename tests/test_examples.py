@@ -19,6 +19,10 @@ EXAMPLES = os.path.join(REPO, "examples")
 def _run(tmp_path, script, *args, timeout=900):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # The container's TPU plugin registers at interpreter startup and
+    # overrides JAX_PLATFORMS; without this the examples silently run on
+    # the real chip (and race any benchmark using it).
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     env["MPLBACKEND"] = "Agg"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return subprocess.run(

@@ -77,13 +77,12 @@ def main():
     s3, ms = bench("K3 rowsweep down", lambda c, a: P.rowsweep_pallas(
         c, a, cfg, [0], False, False, out_dtype=P._acc_dtype(cfg)), c, swe)
     total += ms
-    maps, ms = bench("K3 rowsweep up + WTA", lambda c, a: P.rowsweep_pallas(
-        c, a, cfg, [0], True, True), c, s3)
+    S, ms = bench("K3 rowsweep up (S out)", lambda c, a: P.rowsweep_pallas(
+        c, a, cfg, [0], True, False, out_dtype=jnp.int16), c, s3)
     total += ms
-    disp, d0, min_s = (m[:H, :W] for m in maps)
-    _, ms = bench("LR invalidate (XLA)", lambda d0, ms_, v: wta.lr_invalidate(
-        d0, ms_, v, cfg.disp12_max_diff, cfg.min_disp, num_disp=D),
-        d0, min_s, min_s < 2**20)
+    _, ms = bench("XLA WTA tail (incl LR)", lambda s: wta.wta_disparity(
+        s[:H, :W, :D], cfg.min_disp, cfg.uniqueness_ratio,
+        cfg.disp12_max_diff), S, n=5)
     total += ms
     _, ms = bench("full matcher", lambda l, r: P.sgm_disparity(l, r, cfg),
                   left, right, n=5)
