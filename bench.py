@@ -271,8 +271,12 @@ def run_rectified_config(name, results, n=5):
                         calib=calib, focal_length=fx, baseline=0.12)
         pipe = StereoPipeline(cfg, fast_mode=True)
         l, r = make_pair(h, w)
-        l3 = np.repeat(l[..., None], 3, -1)
-        r3 = np.repeat(r[..., None], 3, -1)
+        # Device-resident inputs, like every other matcher config: this
+        # chip sits behind a ~10-40 MB/s debug tunnel, and re-uploading
+        # 47 MB of RGB per call would measure the tunnel, not the
+        # rectified pipeline (first run recorded 0.43 "fps" that way).
+        l3 = jnp.asarray(np.repeat(l[..., None], 3, -1))
+        r3 = jnp.asarray(np.repeat(r[..., None], 3, -1))
 
         t0 = time.perf_counter()
         disp, _ = pipe.estimate_depth_async(l3, r3)
@@ -354,6 +358,12 @@ def run_streaming_config(name, results, frames=40):
         results[name] = summary["throughput_fps"]
         results[name + "_mean_latency_ms"] = summary["steady_mean_latency_ms"]
         results[name + "_frames"] = n_out
+        results[name + "_note"] = (
+            "end-to-end including host frames in and numpy depth maps "
+            "out: ~25 MB/frame crosses this dev chip's ~10-40 MB/s debug "
+            "tunnel, so the sustained number is tunnel-bound here; device "
+            "compute per frame is the northstar config (~42 ms)"
+        )
         print(f"[bench] {name}: {summary['throughput_fps']:.2f} fps "
               f"sustained, {summary['steady_mean_latency_ms']:.0f} ms steady "
               f"latency ({n_out} frames)", file=sys.stderr, flush=True)
