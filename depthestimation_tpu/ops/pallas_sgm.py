@@ -139,11 +139,18 @@ def pallas_supported(cfg, shape: Tuple[int, int]) -> bool:
 # so every store is whole VMEM tiles and the hsweeps consume it directly.
 # ----------------------------------------------------------------------
 
-K1_ROWS = 64  # output rows per band
+K1_ROWS = 64  # output rows per band (small inputs; see _k1_rows)
 # Output columns per grid step. Must be 128: HBM slices feeding the window
 # DMAs need 128-aligned lane offsets/lengths (Mosaic tiled-memref rule),
 # and chunk starts advance in K1_XC steps.
 K1_XC = 128
+
+
+def _k1_rows(h: int) -> int:
+    """Taller K1 bands amortize window DMAs and ring warm-up: 128 rows
+    measured -1.2 ms on the 1080p headline (best-of-3 x 25); small
+    inputs keep 64 so the padded output stays small."""
+    return 128 if h >= 512 else K1_ROWS
 
 
 def _cost_kernel(u_hbm, u0_hbm, u1_hbm, v_hbm, v0_hbm, v1_hbm, out_ref,
@@ -278,7 +285,8 @@ def bt_cost_volume_pallas(left, right, cfg):
     r = bs // 2
     min_disp = cfg.min_disp
 
-    hp = _round_up(h, K1_ROWS)
+    k1_rows = _k1_rows(h)
+    hp = _round_up(h, k1_rows)
     wp = _round_up(w, LANE)
     _, c_pad_val = _cost_bounds(cfg)
 
@@ -287,7 +295,7 @@ def bt_cost_volume_pallas(left, right, cfg):
     u0, u1 = xcosts._half_sample_envelope(pl_img)
     v0, v1 = xcosts._half_sample_envelope(pr_img)
 
-    rows_ext = K1_ROWS + 2 * r
+    rows_ext = k1_rows + 2 * r
     rows_al = _round_up(rows_ext, 8)
     uwin_al = _round_up(K1_XC + 2 * r, LANE)
     vwin_al = _round_up(dp + K1_XC + 2 * r, LANE)
@@ -316,17 +324,17 @@ def bt_cost_volume_pallas(left, right, cfg):
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_spec = pl.BlockSpec(
-        (K1_XC, K1_ROWS, dp), lambda i, j: (j, i, 0),
+        (K1_XC, k1_rows, dp), lambda i, j: (j, i, 0),
         memory_space=pltpu.VMEM,
     )
     kernel = functools.partial(
         _cost_kernel, d_real=d_real, dp=dp, min_disp=cfg.min_disp,
-        block_size=bs, w=w, rows=K1_ROWS, rows_al=rows_al, xc=K1_XC,
+        block_size=bs, w=w, rows=k1_rows, rows_al=rows_al, xc=K1_XC,
         s_base=s_base, h=h, c_pad_val=c_pad_val,
     )
     c_t = pl.pallas_call(
         kernel,
-        grid=(hp // K1_ROWS, wp // K1_XC),
+        grid=(hp // k1_rows, wp // K1_XC),
         in_specs=[any_spec] * 6,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((wp, hp, dp), jnp.int16),
@@ -555,12 +563,17 @@ def _rowsweep_kernel(c_ref, a_ref, out_ref, *scratch, p1, p2, dxs,
         out_ref[rr, :, :] = total.astype(out_dtype)
 
 
-def _rs_rows(h, w, d, dtypes, ndirs, has_diag, cap=8) -> int:
+RS_CAP = 8  # max rows per K3 band (re-tuned after the WTA-tail change)
+
+
+def _rs_rows(h, w, d, dtypes, ndirs, has_diag, cap=None) -> int:
     """Tallest row-band (divisor of h, <= cap) within the VMEM budget,
     leaving ~24 MB headroom for the step/WTA temporaries Mosaic
     materializes. cap=8 held for the WTA pass too after round-3 tuning
     (an earlier, larger-bodied WTA variant broke Mosaic at 8 rows; the
     packed-tree version compiles and is faster at 8)."""
+    if cap is None:
+        cap = RS_CAP
     fixed = ndirs * w * d * 4 * (2 if has_diag else 1)
     per_row = sum(2 * w * d * jnp.dtype(t).itemsize for t in dtypes)
     rows = cap
@@ -584,7 +597,7 @@ def rowsweep_pallas(cost, acc, cfg, dxs: Sequence[int], reverse: bool,
     h, w, d = cost.shape
     has_diag = any(dx != 0 for dx in dxs)
     dtypes = [cost.dtype, acc.dtype, out_dtype]
-    rows = _rs_rows(h, w, d, dtypes, len(dxs), has_diag, cap=8)
+    rows = _rs_rows(h, w, d, dtypes, len(dxs), has_diag)
     nbands = h // rows
 
     if reverse:
