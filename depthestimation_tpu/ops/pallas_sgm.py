@@ -67,11 +67,10 @@ range (block_size <= 11, prefilter_cap <= 63). P1/P2: stereo_core.py:51-52.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
