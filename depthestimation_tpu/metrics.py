@@ -95,9 +95,14 @@ class MetricsAggregator:
     @property
     def throughput_fps(self) -> float:
         # The clock starts at the first frame's completion, so N frames
-        # span N-1 inter-frame intervals.
+        # span N-1 inter-frame intervals. A single-frame stream has no
+        # interval yet — report the latency-derived rate instead of 0.
+        if self.frames <= 1:
+            if self._lat and self._lat[-1] > 0:
+                return 1000.0 / self._lat[-1]
+            return 0.0
         dt = time.time() - self._t0
-        return (self.frames - 1) / dt if dt > 0 and self.frames > 1 else 0.0
+        return (self.frames - 1) / dt if dt > 0 else 0.0
 
     def summary(self) -> dict:
         return {

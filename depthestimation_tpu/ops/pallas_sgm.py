@@ -109,13 +109,27 @@ def _ldir_bound(cfg) -> int:
 
 def _stored_paths(cfg) -> int:
     """Directions summed into the largest *intermediate* stored partial
-    sum (the final pass's full sum always fits int16 for OpenCV's
-    parameter range: num_paths * (Cmax + 3*P2) <= 31600)."""
+    sum. The FINAL pass's full sum uses its own bound (_final_dtype):
+    real lanes only, since pad lanes are sliced off before the WTA tail."""
     return {3: 2, 4: 3, 5: 2, 8: 5}[cfg.num_paths]
 
 
 def _acc_dtype(cfg):
     if _stored_paths(cfg) * _ldir_bound(cfg) < 32600:
+        return jnp.int16
+    return jnp.int32
+
+
+def _final_dtype(cfg):
+    """Storage dtype of the final aggregated volume S. Per-direction L on a
+    REAL lane is bounded by Cmax + P2 (the classic SGM bound: the neighbor
+    term never exceeds min_prev + P2, so L <= C + P2), and only real lanes
+    reach the WTA tail — pad lanes are sliced off first, so their wider
+    Cmax + 3*P2 bound is irrelevant here. int16 would silently wrap for
+    e.g. block_size=7 'hh' (8 * (Cmax + P2) = 36 848) or block_size=11
+    sgbm_3way, so those configs store S as int32."""
+    cmax, _ = _cost_bounds(cfg)
+    if cfg.num_paths * (cmax + cfg.p2) < 32600:
         return jnp.int16
     return jnp.int32
 
@@ -263,9 +277,10 @@ def _cost_kernel(u_hbm, u0_hbm, u1_hbm, v_hbm, v0_hbm, v1_hbm, out_ref,
 
 def bt_cost_volume_pallas(left, right, cfg):
     """(H, W) grayscale pair -> int16 cost volume in BOTH layouts:
-    (x-major (Wp, Hp, Dp), row-major (Hp, Wp, Dp)). The twin costs one
-    per-block in-VMEM swapaxes + a second HBM write — cheaper than the
-    whole-volume XLA transpose the row sweeps otherwise need.
+    (x-major (Wp, Hp, Dp), row-major (Hp, Wp, Dp)). The kernel writes
+    x-major only; the row-major twin is an XLA swapaxes (a strided-DMA
+    copy — A/B-tested equal to emitting it in-kernel, with ~2x faster
+    compiles and no Dp=256 VMEM blowup).
 
     Prefilter + BT + SAD per costs.bt_cost_volume semantics (OpenCV
     calcPixelCostBT, stereo_core.py:63-75). Hp/Wp/Dp rounded up to
@@ -643,11 +658,9 @@ def sgm_disparity(left, right, cfg):
         raise NotImplementedError
 
     acc_dt = _acc_dtype(cfg)
-    # K1 emits the volume in BOTH layouts (x-major for the horizontal
-    # sweeps, row-major for the row sweeps) via a per-block in-VMEM
-    # swapaxes; K2's accumulate pass writes row-major the same way — so
-    # no whole-volume XLA transpose ever runs (measured ~1.6 ms each at
-    # 1080p/128d).
+    # K1 emits the volume x-major for the horizontal sweeps; the row-major
+    # twin the row sweeps read is an XLA swapaxes (strided-DMA copy,
+    # measured ~1.6 ms at 1080p/128d), as is K2's row_major_out.
     c_t, c = bt_cost_volume_pallas(
         left.astype(jnp.float32), right.astype(jnp.float32), cfg
     )
@@ -658,28 +671,30 @@ def sgm_disparity(left, right, cfg):
     swe = hsweep_pallas(c_t, lw_t, p1, p2, backward=True, out_dtype=acc_dt,
                         row_major_out=True)
 
-    # Final sweep materializes the aggregated volume S (int16: the full
-    # sum is bounded by num_paths * (Cmax + 3*P2) <= 31600 for OpenCV's
-    # parameter range) and the WTA runs as an XLA tail: XLA's minor-dim
-    # reduces beat the in-kernel rotate-tree argmin measured head-to-head
-    # (min+argmin 2.8 ms vs 6.6 ms per 1080p frame; whole tail incl. LR
-    # 15.2 ms vs 20.5 ms fused), and the extra S write costs ~0.7 ms.
+    # Final sweep materializes the aggregated volume S and the WTA runs as
+    # an XLA tail: XLA's minor-dim reduces beat the in-kernel rotate-tree
+    # argmin measured head-to-head (min+argmin 2.8 ms vs 6.6 ms per 1080p
+    # frame; whole tail incl. LR 15.2 ms vs 20.5 ms fused), and the extra
+    # S write costs ~0.7 ms. S is int16 only when the real-lane full-sum
+    # bound num_paths * (Cmax + P2) fits (_final_dtype) — wider configs
+    # (e.g. block_size=7 'hh') store int32 to avoid silent wraparound.
+    final_dt = _final_dtype(cfg)
     paths = cfg.num_paths
     if paths == 3:
         s = rowsweep_pallas(c, swe, cfg, [0], False, False,
-                            out_dtype=jnp.int16)
+                            out_dtype=final_dt)
     elif paths == 4:
         s3 = rowsweep_pallas(c, swe, cfg, [0], False, False, out_dtype=acc_dt)
         s = rowsweep_pallas(c, s3, cfg, [0], True, False,
-                            out_dtype=jnp.int16)
+                            out_dtype=final_dt)
     elif paths == 5:
         s = rowsweep_pallas(c, swe, cfg, [0, 1, -1], False, False,
-                            out_dtype=jnp.int16)
+                            out_dtype=final_dt)
     else:  # 8
         s5 = rowsweep_pallas(c, swe, cfg, [0, 1, -1], False, False,
                              out_dtype=acc_dt)
         s = rowsweep_pallas(c, s5, cfg, [0, -1, 1], True, False,
-                            out_dtype=jnp.int16)
+                            out_dtype=final_dt)
 
     from .wta import wta_disparity
 

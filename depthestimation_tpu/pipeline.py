@@ -197,7 +197,11 @@ class StereoPipeline:
     def configure(self, **kwargs) -> None:
         self.cfg = self.cfg.updated(downscale_factor=self.downscale_factor, **kwargs)
         # jit cache entries keyed on config remain valid; new config keys
-        # trigger fresh traces lazily.
+        # trigger fresh traces lazily. The temporal-smoother carry is tied
+        # to the OLD config's crop width (W - num_disp) — feeding it into a
+        # reconfigured pipeline is a shape error at best, a silently
+        # blended stale disparity at worst.
+        self.reset_temporal()
 
     def get_params(self) -> dict:
         return self.cfg.as_reference_dict()

@@ -71,6 +71,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 def test_two_process_frame_dp_matches_single_process(tmp_path):
     script = tmp_path / "child.py"
     script.write_text("import numpy as np\n" + _CHILD)

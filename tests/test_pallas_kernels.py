@@ -163,6 +163,29 @@ def test_min_disp_nonzero():
     np.testing.assert_array_equal(d_xla, d_pal)
 
 
+def test_final_sum_int32_when_int16_would_wrap():
+    """block_size=7 'hh': 8 paths * (Cmax + P2) = 36 848 > int16 — the
+    final S volume must be stored int32 (round-4 regression: it silently
+    wrapped in int16 and produced garbage disparities)."""
+    cfg = SGMConfig(num_disp=32, sgbm_mode="hh", block_size=7,
+                    speckle_window_size=0)
+    assert cfg.num_paths * (cfg.block_size ** 2 * 2 * cfg.prefilter_cap
+                            + cfg.p2) > 32767
+    assert pallas_sgm.pallas_supported(cfg, (12, 160))
+    assert pallas_sgm._final_dtype(cfg) == jnp.int32
+    left, right = make_pair(12, 160, seed=11)
+    c = ref_cost(left, right, cfg)
+    d_xla = np.asarray(
+        wta.wta_disparity(
+            sgm.aggregate(jnp.asarray(c), cfg.p1, cfg.p2, cfg.num_paths),
+            cfg.min_disp, cfg.uniqueness_ratio, cfg.disp12_max_diff,
+        )
+    )
+    d_pal = np.asarray(_jit(lambda l, r: pallas_sgm.sgm_disparity(
+        l, r, cfg), left, right))
+    np.testing.assert_array_equal(d_xla, d_pal)
+
+
 def test_unsupported_falls_back():
     cfg = SGMConfig(num_disp=128, cost="census")
     assert not pallas_sgm.pallas_supported(cfg, (64, 384))
