@@ -15,7 +15,7 @@ import numpy as np
 from .config import SGMConfig
 from .io.input import load_stereo_pair, stereo_stream
 from .io.threaded import StereoInputPipeline
-from .metrics import MetricsAggregator, compute_frame_metrics
+from .metrics import MetricsAggregator, frame_metrics_from_stats
 from .pipeline import StereoPipeline
 from . import viz
 
@@ -105,6 +105,7 @@ class StereoDepthEstimatorVideo:
         target_fps=30,
         drop_frames=False,
         visualize_gray=False,
+        depth_dtype="float32",
     ) -> None:
         self.left_source = left_source
         self.right_source = right_source
@@ -117,6 +118,14 @@ class StereoDepthEstimatorVideo:
         self._frame_interval = 1.0 / target_fps if target_fps > 0 else 0
         self.drop_frames = drop_frames
         self.visualize_gray = visualize_gray
+        # Host-link budget lever (VERDICT r4 #3): depth maps come back as
+        # this dtype — 'float16' halves the per-frame D2H bytes, which on
+        # a tunnel- or PCIe-bound deployment is throughput, not precision
+        # (depth display/consumers downstream quantize far coarser).
+        self.depth_dtype = str(depth_dtype)
+        if self.depth_dtype not in ("float32", "float16"):
+            raise ValueError("depth_dtype must be 'float32' or 'float16'.")
+        self._stats_fn = None  # lazily-jitted device-side disparity stats
         self.core = StereoPipeline(
             downscale_factor=downscale_factor, fast_mode=fast_mode
         )
@@ -144,6 +153,29 @@ class StereoDepthEstimatorVideo:
 
     def get_sgbm_params(self) -> Dict:
         return self.core.get_params()
+
+    def _disp_stats(self, disp_d):
+        """(valid_fraction, min, max, mean-over-valid) computed ON DEVICE,
+        one jitted dispatch, 16 bytes pulled — vs 8 MB for the full map."""
+        if self._stats_fn is None:
+            import jax
+            import jax.numpy as jnp
+
+            @jax.jit
+            def stats(d):
+                d = d.astype(jnp.float32)
+                valid = d > 0
+                n = jnp.maximum(jnp.sum(valid), 1)
+                big = jnp.float32(3.4e38)
+                return jnp.stack([
+                    jnp.mean(valid.astype(jnp.float32)),
+                    jnp.min(jnp.where(valid, d, big)),
+                    jnp.max(jnp.where(valid, d, -big)),
+                    jnp.sum(jnp.where(valid, d, 0.0)) / n,
+                ])
+
+            self._stats_fn = stats
+        return self._stats_fn(disp_d)
 
     def _emit(self, depth_m, measured_fps):
         if self.visualize_live:
@@ -230,14 +262,19 @@ class StereoDepthEstimatorVideo:
                 )
 
         def sync(item):
-            nonlocal measured_fps, frame_start, index
+            nonlocal index
             disp_d, depth_d, t0 = item
-            disp = np.asarray(disp_d)
+            # Disparity stats come back as a 16-byte device-side vector
+            # instead of the full 8 MB map (frame_metrics_from_stats); the
+            # np.asarray inside it is also the honest latency fence.
+            stats = self._disp_stats(disp_d)
             depth_m = None if depth_d is None else np.asarray(depth_d)
-            self.metrics.update(compute_frame_metrics(
-                disp, depth_m, frame_index=index,
+            self.metrics.update(frame_metrics_from_stats(
+                stats, depth_m, frame_index=index,
                 latency_ms=(time.time() - t0) * 1000.0,
             ))
+            self.metrics.record_bytes(bytes_out=(
+                16 + (0 if depth_m is None else depth_m.nbytes)))
             index += 1
             return depth_m
 
@@ -251,6 +288,18 @@ class StereoDepthEstimatorVideo:
                 # the stream (SURVEY.md section 5 failure-detection gap).
                 try:
                     dispatched = self.core.estimate_depth_async(left, right)
+                    if (dispatched[1] is not None
+                            and self.depth_dtype == "float16"):
+                        import jax.numpy as jnp
+
+                        # On-device cast, dispatched async: halves the
+                        # depth map's D2H bytes before it ever crosses
+                        # the host link.
+                        dispatched = (dispatched[0],
+                                      dispatched[1].astype(jnp.float16))
+                    self.metrics.record_bytes(
+                        bytes_in=(getattr(left, "nbytes", 0)
+                                  + getattr(right, "nbytes", 0)))
                 except Exception:  # noqa: BLE001 — isolate the frame
                     frame_failed()
                     continue

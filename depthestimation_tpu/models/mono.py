@@ -115,20 +115,48 @@ class MonoDepthModel:
 
         with open(os.path.join(model_dir, "depthestimation_tpu_config.json")) as f:
             meta = json.load(f)
-        model = cls.create(meta["size"], image_size=meta["image_size"])
+        if "vit" in meta:
+            # Full architecture record (written by save() since round 5):
+            # rebuilds nets whose geometry matches no size preset — e.g. a
+            # converted HF checkpoint with custom hidden sizes.
+            vit_cfg = ViTConfig(**{**meta["vit"],
+                                   "out_layers": tuple(meta["vit"]["out_layers"])})
+            dpt_cfg = DPTConfig(**{
+                **meta["dpt"],
+                "reassemble_channels": tuple(meta["dpt"]["reassemble_channels"]),
+                "factors": tuple(meta["dpt"]["factors"]),
+            })
+            model = cls(net=MonoDepthNet(vit_cfg, dpt_cfg), params=None,
+                        _jit_cache={})
+        else:  # legacy round-3/4 checkpoints: size preset only
+            model = cls.create(meta["size"], image_size=meta["image_size"])
         with open(ckpt, "rb") as f:
             restored = msgpack_restore(f.read())
         model.params = jax.tree.map(jnp.asarray, restored)
         return model
 
-    def save(self, model_dir: str, size: str = "small", image_size: int = 518):
+    def save(self, model_dir: str, size: str = "small", image_size: int = None):
+        """Write the checkpoint directory load() reads: params as msgpack
+        plus a config json carrying the FULL ViT/DPT architecture (the
+        size label is kept for humans; loading never trusts it)."""
         import json
 
         from flax.serialization import msgpack_serialize
 
         os.makedirs(model_dir, exist_ok=True)
+        vit = {k: v for k, v in self.net.vit_cfg.__dict__.items()
+               if k != "dtype"}
+        dpt = {k: v for k, v in self.net.dpt_cfg.__dict__.items()
+               if k != "dtype"}
+        meta = {
+            "size": size,
+            "image_size": (image_size if image_size is not None
+                           else self.net.vit_cfg.image_size),
+            "vit": vit,
+            "dpt": dpt,
+        }
         with open(os.path.join(model_dir, "depthestimation_tpu_config.json"), "w") as f:
-            json.dump({"size": size, "image_size": image_size}, f)
+            json.dump(meta, f)
         flat = jax.tree.map(lambda x: np.asarray(x), self.params)
         with open(os.path.join(model_dir, "depthestimation_tpu_params.msgpack"), "wb") as f:
             f.write(msgpack_serialize(flat))

@@ -17,8 +17,8 @@ see `Padding` below):
                slice of each x-reversed right slab (ascending d ==
                ascending reversed x), y-summed in-tile, and the x window
                is a RUNNING sum over a ring of block_size y-sums. int16
-               out; the last r real columns are patched by the XLA
-               reference for OpenCV's cost-row edge replication. The
+               out; OpenCV's cost-row edge replication for SAD taps at
+               x > w-1 is handled in-kernel (clamp_tap). The
                row-major twin the row sweeps read is an XLA transpose
                (strided-DMA copy; A/B-tested equal to in-kernel emits).
   K2 hscan     grid (row-bands, x-chunks). Horizontal L->R scan; the
@@ -81,7 +81,9 @@ __all__ = ["sgm_disparity", "pallas_supported", "bt_cost_volume_pallas",
 
 LANE = 128
 CROWS = 4    # row-band height of the cost kernel
-HS_XC = 32   # x positions per horizontal-scan block
+HS_XC = 16   # x positions per horizontal-scan block (re-tuned round 5 on
+             # the zero-pad Hp layout: 16 beats 32 by 1.3 ms on the K2
+             # pair AND compiles 3.3x faster; 8 is a Mosaic compile cliff)
 INTERPRET = False  # set True to run kernels in interpreter mode (CPU tests)
 
 _BIG = 2**20
@@ -96,8 +98,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _cost_bounds(cfg) -> Tuple[int, int]:
-    """(Cmax, C_pad): max real block cost and the pad-lane cost."""
-    cmax = cfg.block_size ** 2 * 2 * cfg.prefilter_cap
+    """(Cmax, C_pad): max real block cost and the pad-lane cost.
+
+    BT: per-pixel cost <= 2*prefilter_cap (clipped Sobel + clipped value
+    term). Census: per-pixel cost <= 24 (radius-2 Hamming bits)."""
+    if cfg.cost == "census":
+        cmax = cfg.block_size ** 2 * 24
+    else:
+        cmax = cfg.block_size ** 2 * 2 * cfg.prefilter_cap
     return cmax, cmax + 2 * cfg.p2
 
 
@@ -135,7 +143,7 @@ def _final_dtype(cfg):
 
 
 def pallas_supported(cfg, shape: Tuple[int, int]) -> bool:
-    if cfg.cost != "bt":
+    if cfg.cost not in ("bt", "census"):
         return False
     # Per-direction carries / cost volume must fit int16.
     _, c_pad = _cost_bounds(cfg)
@@ -160,24 +168,36 @@ K1_XC = 128
 
 
 def _k1_rows(h: int) -> int:
-    """Taller K1 bands amortize window DMAs and ring warm-up: 128 rows
-    measured -1.2 ms on the 1080p headline (best-of-3 x 25); small
-    inputs keep 64 so the padded output stays small."""
-    return 128 if h >= 512 else K1_ROWS
+    """Taller K1 bands amortize window DMAs and ring warm-up (~128 rows
+    measured -1.2 ms on the 1080p headline); but the band height also sets
+    Hp = round_up(h, rows), and EVERY downstream kernel, transpose and the
+    WTA tail pays for the pad rows (128-row bands put 1080p at Hp=1152,
+    6.7% waste). Pick the multiple-of-8 height near 128 that minimizes
+    padding — at 1080 that is 120 (Hp=1080, zero pad). Small inputs keep
+    64 so the padded output stays small."""
+    if h < 512:
+        return K1_ROWS
+    best = None
+    for b in range(144, 88, -8):
+        hp = _round_up(h, b)
+        if best is None or hp < best[0]:
+            best = (hp, b)
+    return best[1]
 
 
-def _cost_kernel(u_hbm, u0_hbm, u1_hbm, v_hbm, v0_hbm, v1_hbm, out_ref,
-                 uw, u0w, u1w, vw, v0w, v1w, sems, *,
-                 d_real, dp, min_disp, block_size, w, rows, rows_al,
-                 xc, s_base, h, c_pad_val):
-    """Grid (row-bands, x-chunks). Per chunk, six small windows are DMA'd
+def _cost_kernel(*refs, nwin, d_real, dp, min_disp, block_size, w, rows,
+                 rows_al, xc, s_base, h, c_pad_val, census):
+    """Grid (row-bands, x-chunks). Per chunk, nwin small windows are DMA'd
     from HBM at dynamic offsets; every in-window access is then a *static*
     lane slice. For each output column x the (rows, Dp) cost tile is built
     from one lane slice per right-image slab — the right slabs are stored
     x-REVERSED so the D axis of C(x, y, d) = f(right[x - min_disp - d]) is
     a contiguous, ascending lane range. A running sum over a ring of
     block_size y-summed tiles turns the SAD x-window into one add + one
-    subtract per column."""
+    subtract per column.
+
+    Pixel cost: BT (3 prefilter slabs per side, f32) or census Hamming
+    (1 packed int32 census slab per side, XOR + VPU popcount)."""
     r = block_size // 2
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -185,25 +205,28 @@ def _cost_kernel(u_hbm, u0_hbm, u1_hbm, v_hbm, v0_hbm, v1_hbm, out_ref,
     x0 = j * xc
 
     # Window DMAs, double-buffered across chunks: slot = parity of the
-    # global step; the NEXT chunk's six windows start before this chunk's
+    # global step; the NEXT chunk's windows start before this chunk's
     # compute, so the copies overlap the ring computation. Left windows
     # cover x in [x0 - r, ...) at lane offset x0 (the slabs carry r
     # columns of left edge-padding); right windows cover every lane slice
     # any column in the chunk needs. All offsets/lengths are 128-aligned
     # by construction (xc = 128, aligned scratch widths); multiple_of
     # communicates what Mosaic cannot prove about s_base - j*xc.
-    hbms = (u_hbm, u0_hbm, u1_hbm, v_hbm, v0_hbm, v1_hbm)
-    wins = (uw, u0w, u1w, vw, v0w, v1w)
+    hbms = refs[:nwin]
+    out_ref = refs[nwin]
+    wins = refs[nwin + 1: 2 * nwin + 1]
+    sems = refs[2 * nwin + 1]
+    nl = nwin // 2  # left slabs come first
 
     def dma(slot, bi, bx0, k):
-        start = bx0 if k < 3 else s_base - bx0
+        start = bx0 if k < nl else s_base - bx0
         start = pl.multiple_of(start, LANE)
         vmem = wins[k]
         return pltpu.make_async_copy(
             hbms[k].at[pl.ds(bi * rows, rows_al),
                        pl.ds(start, vmem.shape[2])],
             vmem.at[slot],
-            sems.at[slot * 6 + k],
+            sems.at[slot * nwin + k],
         )
 
     t = i * nx + j
@@ -211,7 +234,7 @@ def _cost_kernel(u_hbm, u0_hbm, u1_hbm, v_hbm, v0_hbm, v1_hbm, out_ref,
 
     @pl.when(t == 0)
     def _():
-        for k in range(6):
+        for k in range(nwin):
             dma(0, i, x0, k).start()
 
     # Prefetch the next grid step's windows (wrapping to the next band).
@@ -221,10 +244,10 @@ def _cost_kernel(u_hbm, u0_hbm, u1_hbm, v_hbm, v0_hbm, v1_hbm, out_ref,
 
     @pl.when(t + 1 < pl.num_programs(0) * nx)
     def _():
-        for k in range(6):
+        for k in range(nwin):
             dma(1 - slot, ni, nx0, k).start()
 
-    for k in range(6):
+    for k in range(nwin):
         dma(slot, i, x0, k).wait()
 
     sub = jax.lax.broadcasted_iota(jnp.int32, (rows, dp), 0)
@@ -232,20 +255,40 @@ def _cost_kernel(u_hbm, u0_hbm, u1_hbm, v_hbm, v0_hbm, v1_hbm, out_ref,
     live_row = (i * rows + sub) < h
     pad_lane = lane >= d_real
 
-    def pc_tile(dx):
-        """(rows_al, dp) BT pixel cost for column x0 + dx (dx static)."""
-        # Right-slab lane slice: ascending d = ascending reversed-x.
-        o = (xc - 1 + r) - dx
-        v = vw[slot, :, o: o + dp]
-        v0 = v0w[slot, :, o: o + dp]
-        v1 = v1w[slot, :, o: o + dp]
-        # Left values at x are scalars per row: single-lane broadcasts.
-        ul = uw[slot, :, dx + r: dx + r + 1]
-        u0l = u0w[slot, :, dx + r: dx + r + 1]
-        u1l = u1w[slot, :, dx + r: dx + r + 1]
-        c0 = jnp.maximum(jnp.maximum(ul - v1, v0 - ul), 0.0)
-        c1 = jnp.maximum(jnp.maximum(v - u1l, u0l - v), 0.0)
-        return jnp.minimum(c0, c1)
+    if census:
+        cw, vw_c = wins
+
+        def pc_tile(dx):
+            """(rows_al, dp) census Hamming cost for column x0 + dx."""
+            o = (xc - 1 + r) - dx
+            v = vw_c[slot, :, o: o + dp]
+            ul = cw[slot, :, dx + r: dx + r + 1]
+            x = jax.lax.bitwise_xor(v, ul)
+            # 24-bit popcount, shift/add only (no int multiply — Mosaic
+            # lowers vector int32 multiplies poorly).
+            x = x - ((x >> 1) & 0x55555555)
+            x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+            x = (x + (x >> 4)) & 0x0F0F0F0F
+            x = x + (x >> 8)
+            x = (x + (x >> 16)) & 0x3F
+            return x.astype(jnp.float32)
+    else:
+        uw, u0w, u1w, vw, v0w, v1w = wins
+
+        def pc_tile(dx):
+            """(rows_al, dp) BT pixel cost for column x0 + dx (dx static)."""
+            # Right-slab lane slice: ascending d = ascending reversed-x.
+            o = (xc - 1 + r) - dx
+            v = vw[slot, :, o: o + dp]
+            v0 = v0w[slot, :, o: o + dp]
+            v1 = v1w[slot, :, o: o + dp]
+            # Left values at x are scalars per row: single-lane broadcasts.
+            ul = uw[slot, :, dx + r: dx + r + 1]
+            u0l = u0w[slot, :, dx + r: dx + r + 1]
+            u1l = u1w[slot, :, dx + r: dx + r + 1]
+            c0 = jnp.maximum(jnp.maximum(ul - v1, v0 - ul), 0.0)
+            c1 = jnp.maximum(jnp.maximum(v - u1l, u0l - v), 0.0)
+            return jnp.minimum(c0, c1)
 
     def ybox(tile):
         acc = tile[0:rows, :]
@@ -258,12 +301,31 @@ def _cost_kernel(u_hbm, u0_hbm, u1_hbm, v_hbm, v0_hbm, v1_hbm, out_ref,
     # output column x0 + k. The window sum is RUNNING (one add + one sub
     # per column instead of bs - 1 adds): BT costs are small integers in
     # f32, so the running add/sub stays exact (< 2^24).
-    ring = [ybox(pc_tile(k - r)) for k in range(2 * r)]
-    racc = ring[0] if ring else None
-    for tile in ring[1:]:
-        racc = racc + tile
+    #
+    # Edge clamping: OpenCV replicates the last real cost column for SAD
+    # taps at x > w-1. Taps arrive in ascending column order, so the tile
+    # computed at tx == w-1 is saved and substituted for every later tap
+    # — two selects per column, which is what lets the kernel cover the
+    # last r real columns exactly (the round-4 version patched them with
+    # an XLA strip recompute whose .at[].set() forced a full-volume copy,
+    # measured 1.7 ms at 1080p).
+    saved = jnp.zeros((rows, dp), jnp.float32)
+
+    def clamp_tap(dx, saved):
+        t = ybox(pc_tile(dx))
+        tx = x0 + dx
+        t = jnp.where(tx > w - 1, saved, t)
+        saved = jnp.where(tx == w - 1, t, saved)
+        return t, saved
+
+    ring = []
+    racc = None
+    for k in range(2 * r):
+        t, saved = clamp_tap(k - r, saved)
+        ring.append(t)
+        racc = t if racc is None else racc + t
     for k in range(xc):
-        new = ybox(pc_tile(k + r))
+        new, saved = clamp_tap(k + r, saved)
         ring.append(new)
         racc = new if racc is None else racc + new
         acc = racc.astype(jnp.int32)
@@ -289,25 +351,40 @@ def bt_cost_volume_pallas(left, right, cfg):
     raw images: replicating a raw row would change its Sobel response.
 
     OpenCV replicates the cost row's last real column for SAD taps at
-    x > w-1; rather than branch on the last chunk in the kernel, the final
-    r real columns are recomputed by the XLA reference on a narrow strip
-    and patched in (bit-exact, off the hot path)."""
+    x > w-1; the kernel's clamp_tap handles this in-band (the saved w-1
+    tile substitutes for any later tap), so no XLA patch pass runs."""
     h, w = left.shape
     d_real = cfg.num_disp
     dp = _round_up(d_real, LANE)
     bs = cfg.block_size
     r = bs // 2
     min_disp = cfg.min_disp
+    census = cfg.cost == "census"
 
     k1_rows = _k1_rows(h)
     hp = _round_up(h, k1_rows)
     wp = _round_up(w, LANE)
     _, c_pad_val = _cost_bounds(cfg)
 
-    pl_img = xcosts.xsobel_prefilter(left, cfg.prefilter_cap)
-    pr_img = xcosts.xsobel_prefilter(right, cfg.prefilter_cap)
-    u0, u1 = xcosts._half_sample_envelope(pl_img)
-    v0, v1 = xcosts._half_sample_envelope(pr_img)
+    if census:
+        # Packed radius-2 census words (24 bits, int32), computed in XLA
+        # on the raw images (cheap shifted compares); the kernel's pixel
+        # cost is XOR + popcount on these slabs. Edge-padding the census
+        # MAP below reproduces census_cost_volume's cost-volume edge
+        # replication exactly: the replicated row/column's pixel cost is
+        # the XOR of the replicated words.
+        lefts = [xcosts._census_transform(left, 2)]
+        rights = [xcosts._census_transform(right, 2)]
+        win_dtype = jnp.int32
+    else:
+        pl_img = xcosts.xsobel_prefilter(left, cfg.prefilter_cap)
+        pr_img = xcosts.xsobel_prefilter(right, cfg.prefilter_cap)
+        u0, u1 = xcosts._half_sample_envelope(pl_img)
+        v0, v1 = xcosts._half_sample_envelope(pr_img)
+        lefts = [pl_img, u0, u1]
+        rights = [pr_img, v0, v1]
+        win_dtype = jnp.float32
+    nwin = 2 * len(lefts)
 
     rows_ext = k1_rows + 2 * r
     rows_al = _round_up(rows_ext, 8)
@@ -332,9 +409,8 @@ def bt_cost_volume_pallas(left, right, cfg):
                     mode="edge")
         return x
 
-    u, u0p, u1p = (prep(t, wl_al, r) for t in (pl_img, u0, u1))
-    vr, v0r, v1r = (prep(t, wr_al, lpad)[:, ::-1]
-                    for t in (pr_img, v0, v1))
+    operands = ([prep(t, wl_al, r) for t in lefts]
+                + [prep(t, wr_al, lpad)[:, ::-1] for t in rights])
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_spec = pl.BlockSpec(
@@ -342,46 +418,28 @@ def bt_cost_volume_pallas(left, right, cfg):
         memory_space=pltpu.VMEM,
     )
     kernel = functools.partial(
-        _cost_kernel, d_real=d_real, dp=dp, min_disp=cfg.min_disp,
+        _cost_kernel, nwin=nwin, d_real=d_real, dp=dp, min_disp=cfg.min_disp,
         block_size=bs, w=w, rows=k1_rows, rows_al=rows_al, xc=K1_XC,
-        s_base=s_base, h=h, c_pad_val=c_pad_val,
+        s_base=s_base, h=h, c_pad_val=c_pad_val, census=census,
     )
     c_t = pl.pallas_call(
         kernel,
         grid=(hp // k1_rows, wp // K1_XC),
-        in_specs=[any_spec] * 6,
+        in_specs=[any_spec] * nwin,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((wp, hp, dp), jnp.int16),
-        scratch_shapes=[
-            pltpu.VMEM((2, rows_al, uwin_al), jnp.float32),
-            pltpu.VMEM((2, rows_al, uwin_al), jnp.float32),
-            pltpu.VMEM((2, rows_al, uwin_al), jnp.float32),
-            pltpu.VMEM((2, rows_al, vwin_al), jnp.float32),
-            pltpu.VMEM((2, rows_al, vwin_al), jnp.float32),
-            pltpu.VMEM((2, rows_al, vwin_al), jnp.float32),
-            pltpu.SemaphoreType.DMA((12,)),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((2, rows_al, uwin_al), win_dtype)] * (nwin // 2)
+            + [pltpu.VMEM((2, rows_al, vwin_al), win_dtype)] * (nwin // 2)
+            + [pltpu.SemaphoreType.DMA((2 * nwin,))]
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=64 * 2**20,
         ),
         interpret=INTERPRET,
-    )(u, u0p, u1p, vr, v0r, v1r)
+    )(*operands)
 
-    if r > 0:
-        # Patch the last r real columns with the reference's clamped-tap
-        # semantics. The strip starts far enough left that no sliced-edge
-        # Sobel/envelope/v-clamp artifact reaches the patched columns.
-        a = max(0, w - (3 * r + cfg.min_disp + d_real + 8))
-        ref = xcosts.bt_cost_volume(
-            left[:, a:], right[:, a:], d_real, cfg.min_disp, bs,
-            cfg.prefilter_cap,
-        )
-        strip = jnp.round(ref[:, (w - r - a):, :]).astype(jnp.int16)
-        block = jnp.full((r, hp, dp), 0, jnp.int16)
-        block = block.at[:, :, d_real:].set(jnp.int16(c_pad_val))
-        block = block.at[:, :h, :d_real].set(jnp.swapaxes(strip, 0, 1))
-        c_t = c_t.at[w - r: w].set(block)
     # Row-major twin for the row sweeps via an XLA transpose (a strided
     # DMA copy; A/B-tested equal to emitting the twin in-kernel, and it
     # compiles ~2x faster with no Dp=256 blowup).
@@ -698,5 +756,10 @@ def sgm_disparity(left, right, cfg):
 
     from .wta import wta_disparity
 
-    return wta_disparity(s[:h, :w, : cfg.num_disp], cfg.min_disp,
-                         cfg.uniqueness_ratio, cfg.disp12_max_diff)
+    # The tail runs on the PADDED volume (pad lanes masked by a fused
+    # iota compare, pad rows/cols cropped from the final map) — slicing
+    # S first would materialize a half-GB copy (measured 1.7 ms at
+    # 1080p/128d on v5e).
+    return wta_disparity(s, cfg.min_disp, cfg.uniqueness_ratio,
+                         cfg.disp12_max_diff, num_disp=cfg.num_disp,
+                         crop=(h, w))

@@ -50,20 +50,27 @@ def lr_invalidate(d0, min_s, valid, disp12_max_diff, min_disp, num_disp=None):
 
     big = _BIG
     pad_r = num_disp + min_disp
-    # Left pixels x >= w do not exist; pad claims with BIG (no claimant).
-    ms_pad = jnp.pad(jnp.where(valid, min_s, big), ((0, 0), (0, pad_r)),
-                     constant_values=big)
 
-    cost2 = jnp.full((h, w), big)
-    disp2 = jnp.full((h, w), big)
+    # Claim phase as a single-carry packed min: key = cost*256 + d0 orders
+    # lexicographically by (cost, d) — exactly OpenCV's ascending-d
+    # strict-'<' tie-break (cost*256+da < cost'*256+db whenever cost<cost'
+    # or cost==cost' and da<db; d0 < 256 always, and the largest real cost
+    # ~153k packs into int32 with room). Invalid pixels and the x >= w pad
+    # claim with the NOCLAIM sentinel, which the post-loop filter maps to
+    # the no-claimant marker. One carried (H, W) int32 map and ~4 ops per
+    # unrolled step keep this in a handful of fused XLA kernels (the
+    # round-4 version carried cost2+disp2 through 128 where-pairs and
+    # measured 5.2 ms / 19 s compile at 1080p/128d).
+    noclaim = 1 << 29
+    key = jnp.where(valid, min_s * 256 + d0, noclaim).astype(jnp.int32)
+    key_pad = jnp.pad(key, ((0, 0), (0, pad_r)), constant_values=noclaim)
+    packed2 = jnp.full((h, w), 1 << 30, jnp.int32)
     for d in range(num_disp):
         off = d + min_disp
-        cand = jnp.where(d0[:, off:] == d, ms_pad[:, off : off + w - off],
-                         big)
-        cand = jnp.pad(cand, ((0, 0), (0, off)), constant_values=big)
-        take = cand < cost2
-        cost2 = jnp.where(take, cand, cost2)
-        disp2 = jnp.where(take, d, disp2)
+        cand = key_pad[:, off : off + w]
+        cand = jnp.where((cand & 255) == d, cand, 1 << 30)
+        packed2 = jnp.minimum(packed2, cand)
+    disp2 = jnp.where(packed2 >= noclaim, big, packed2 & 255)
 
     # Check phase: pixel x with index d reads disp2[x - d - min_disp];
     # again a static shift per d (pad left = out-of-bounds -> bad).
@@ -81,22 +88,39 @@ def wta_disparity(
     min_disp: int = 0,
     uniqueness_ratio: int = 10,
     disp12_max_diff: int = 1,
+    num_disp: int | None = None,
+    crop: tuple | None = None,
 ) -> jax.Array:
     """Select disparity from aggregated volume S (H, W, D).
 
     Returns float32 (H, W) disparity in pixels (including min_disp and the
     /16 sub-pixel quantization); invalid pixels = min_disp - 1.
+
+    num_disp: number of REAL disparity lanes (default: all of D). Pallas
+    pad lanes beyond it are excluded from every reduction by a fused iota
+    mask instead of a minor-dim slice — slicing the padded volume would
+    materialize a half-GB copy at 1080p (measured 1.7 ms on v5e).
+    crop: (h, w) of the real image region. The tail then runs on the
+    PADDED maps — every op is per-row/per-pixel except the LR claim,
+    where pad columns (zero-cost rows/cols look like valid d0=0 pixels)
+    are masked out of the claimant set — and only the final small
+    disparity map is sliced.
     """
     if not jnp.issubdtype(s.dtype, jnp.integer):
         s = jnp.round(s)
     s = s.astype(jnp.int32)
-    num_d = s.shape[-1]
+    lanes = s.shape[-1]
+    num_d = lanes if num_disp is None else num_disp
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    if num_d < lanes:
+        # Pad lanes can undercut the *competitor* reductions even though
+        # they never win the argmin; mask them from every reduce.
+        s = jnp.where(d_idx < num_d, s, _BIG)
 
     # min + argmin in one fused variadic reduce; argmin's first-index
     # tie-break IS OpenCV's smallest-d rule.
     min_s = jnp.min(s, axis=-1)
     d0 = jnp.argmin(s, axis=-1).astype(jnp.int32)
-    d_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
 
     cm = jnp.min(jnp.where(d_idx == d0[..., None] - 1, s, _BIG), axis=-1)
     cp = jnp.min(jnp.where(d_idx == d0[..., None] + 1, s, _BIG), axis=-1)
@@ -108,8 +132,15 @@ def wta_disparity(
         invalid = competitor * (100 - uniqueness_ratio) < min_s * 100
 
     if disp12_max_diff >= 0:
+        claim_ok = ~invalid
+        if crop is not None and crop[1] < d0.shape[1]:
+            # Zero-cost pad columns look like valid (d0=0, cost 0) pixels;
+            # keep them out of the LR claimant set (the reference's maps
+            # simply end at w).
+            col = jax.lax.broadcasted_iota(jnp.int32, d0.shape, 1)
+            claim_ok = claim_ok & (col < crop[1])
         invalid = invalid | lr_invalidate(
-            d0, min_s, ~invalid, disp12_max_diff, min_disp, num_disp=num_d
+            d0, min_s, claim_ok, disp12_max_diff, min_disp, num_disp=num_d
         )
 
     # OpenCV integer subpixel: d*16 + ((cm - cp)*16 + denom) / (2*denom)
@@ -119,4 +150,7 @@ def wta_disparity(
     interior = (d0 > 0) & (d0 < num_d - 1)
     delta16 = jnp.where(interior, delta16, 0)
     disp = ((min_disp + d0) * 16 + delta16).astype(jnp.float32) / 16.0
-    return jnp.where(invalid, jnp.float32(min_disp - 1), disp)
+    disp = jnp.where(invalid, jnp.float32(min_disp - 1), disp)
+    if crop is not None:
+        disp = disp[: crop[0], : crop[1]]
+    return disp

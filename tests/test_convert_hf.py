@@ -44,6 +44,41 @@ def tiny_hf_model(tmp_path_factory):
     return model, str(d)
 
 
+def test_convert_cli_golden(tiny_hf_model, tmp_path):
+    """The offline weights recipe end-to-end (VERDICT r4 #3 mono item):
+    tools/convert_hf_checkpoint.py turns an HF snapshot dir into a
+    msgpack checkpoint that MonoDepthModel.load() restores with a
+    bit-identical forward — the exact one-command path a weights-bearing
+    machine runs for real Depth-Anything-V2 checkpoints."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    import convert_hf_checkpoint as cli
+
+    _, ckpt_dir = tiny_hf_model
+    out = str(tmp_path / "converted")
+    assert cli.main([ckpt_dir, out, "--size", "tiny-test", "--verify"]) == 0
+
+    from depthestimation_tpu.models.mono import MonoDepthModel
+
+    direct = load_hf_depth_anything(ckpt_dir)
+    reloaded = MonoDepthModel.load(out)
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 1, (1, 56, 84, 3)).astype(np.float32)
+    a = np.asarray(direct.net.apply({"params": direct.params}, x))
+    b = np.asarray(reloaded.net.apply({"params": reloaded.params}, x))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_convert_cli_rejects_non_snapshot(tmp_path):
+    import sys
+
+    sys.path.insert(0, "tools")
+    import convert_hf_checkpoint as cli
+
+    assert cli.main([str(tmp_path), str(tmp_path / "out")]) == 2
+
+
 @pytest.mark.parametrize("shape", [(56, 56), (84, 112)])
 def test_forward_parity(tiny_hf_model, shape):
     model, ckpt_dir = tiny_hf_model

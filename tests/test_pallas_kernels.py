@@ -186,8 +186,47 @@ def test_final_sum_int32_when_int16_would_wrap():
     np.testing.assert_array_equal(d_xla, d_pal)
 
 
+def test_census_matcher_exact():
+    """Census cost inside K1 (VERDICT r4 #5): XOR + VPU popcount on packed
+    radius-2 census words, bit-exact vs the XLA census path
+    (costs.census_cost_volume) through the full matcher — including the
+    edge-replicated window columns the in-kernel clamp_tap covers."""
+    left, right = make_pair(16, 256, seed=5)
+    cfg = SGMConfig(num_disp=64, cost="census", sgbm_mode="sgbm_3way",
+                    speckle_window_size=0)
+    assert pallas_sgm.pallas_supported(cfg, left.shape)
+    c = np.round(np.asarray(costs.census_cost_volume(
+        left, right, cfg.num_disp, cfg.min_disp, cfg.block_size,
+    ))).astype(np.int32)
+    d_xla = np.asarray(
+        wta.wta_disparity(
+            sgm.aggregate(jnp.asarray(c), cfg.p1, cfg.p2, cfg.num_paths),
+            cfg.min_disp, cfg.uniqueness_ratio, cfg.disp12_max_diff,
+        )
+    )
+    d_pal = np.asarray(_jit(lambda l, r: pallas_sgm.sgm_disparity(
+        l, r, cfg), left, right))
+    np.testing.assert_array_equal(d_xla, d_pal)
+
+
+@pytest.mark.slow
+def test_census_cost_volume_exact():
+    left, right = make_pair(16, 256, seed=6)
+    cfg = SGMConfig(num_disp=64, cost="census", sgbm_mode="sgbm_3way",
+                    speckle_window_size=0, block_size=5)
+    ref = np.round(np.asarray(costs.census_cost_volume(
+        left, right, cfg.num_disp, cfg.min_disp, cfg.block_size,
+    ))).astype(np.int32)
+    c_t, c = _jit(lambda l, r: pallas_sgm.bt_cost_volume_pallas(l, r, cfg),
+                  left, right)
+    h, w = left.shape
+    got = np.asarray(c).astype(np.int32)[:h, :w, : cfg.num_disp]
+    np.testing.assert_array_equal(ref, got)
+
+
 def test_unsupported_falls_back():
-    cfg = SGMConfig(num_disp=128, cost="census")
+    cfg = SGMConfig(num_disp=128, cost="census", block_size=41)
+    # block_size 41 puts even the census bound past int16 -> unsupported.
     assert not pallas_sgm.pallas_supported(cfg, (64, 384))
     with pytest.raises(NotImplementedError):
         pallas_sgm.sgm_disparity(jnp.zeros((16, 384)), jnp.zeros((16, 384)),

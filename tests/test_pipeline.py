@@ -102,7 +102,9 @@ def test_xla_fallback_guard_raises_on_tpu_scale():
     from depthestimation_tpu.config import SGMConfig
     from depthestimation_tpu.ops import pallas_sgm
 
-    cfg = SGMConfig(num_disp=128, cost="census")  # census: no Pallas path
+    # block_size=41 census overflows the int16 carry bound, so the Pallas
+    # matcher declines it (census itself IS Pallas-supported since r5).
+    cfg = SGMConfig(num_disp=128, cost="census", block_size=41)
     left = jax.ShapeDtypeStruct((1080, 1920), np.float32)
     with mock.patch.object(pipeline.jax, "default_backend",
                            return_value="tpu"), \

@@ -186,6 +186,37 @@ def test_single_frame_stream_reports_latency_derived_fps():
     assert vid.metrics.throughput_fps > 0
 
 
+def test_video_facade_uint8_frames_fp16_depth_and_bytes():
+    """Host-link-honest streaming (VERDICT r4 #3): uint8 frames flow
+    end-to-end, depth comes back float16, and the metrics account
+    bytes-per-frame on the link."""
+    n = 3
+    left, right = _frames(n)
+    lf = [f[..., 0] for f in left]   # (H, W) uint8
+    rf = [f[..., 0] for f in right]
+    vid = StereoDepthEstimatorVideo(
+        left_source=lf, right_source=rf, fast_mode=True, target_fps=0,
+        depth_dtype="float16",
+    )
+    vid.configure_sgbm(num_disp=16, focal_length=500.0, baseline=0.1,
+                       speckle_window_size=0)
+    depths = list(vid.estimate_depth())
+    assert len(depths) == n
+    assert all(d.dtype == np.float16 for d in depths)
+    s = vid.metrics.summary()
+    assert s["bytes_per_frame_in"] == 2 * 32 * 96          # uint8 pair
+    assert s["bytes_per_frame_out"] == 16 + 32 * (96 - 16) * 2  # stats+fp16
+    assert vid.metrics.last.valid_fraction > 0
+    assert vid.metrics.last.disp_max >= vid.metrics.last.disp_min > 0
+
+
+def test_video_facade_rejects_bad_depth_dtype():
+    import pytest
+
+    with pytest.raises(ValueError, match="depth_dtype"):
+        StereoDepthEstimatorVideo(depth_dtype="int8")
+
+
 def test_video_facade_stop_request():
     """stop() ends the generator after the in-flight frame (the reference's
     ESC exit, StereoDepthEstimatorVideo.py:111-112)."""

