@@ -545,11 +545,14 @@ def main():
              wls_filter=True),
         H, W, fast_mode=True)
     # Reference-default pipeline: in-matcher speckle + full 4-stage
-    # postprocess (BASELINE config #3 "with post-filtering").
+    # postprocess (BASELINE config #3 "with post-filtering"). Matcher mode
+    # is the reference's DEFAULT sgbm_3way (stereo_core.py:25,61) — every
+    # other SGMConfig field at its default, exactly what
+    # StereoDepthEstimator users get out of the box.
     run_config(
         "full_postprocess_1080p_128d", configs,
-        dict(num_disp=D, sgbm_mode="hh4", hole_filling=True),
-        H, W, fast_mode=False, n=3)
+        dict(num_disp=D, hole_filling=True),
+        H, W, fast_mode=False, n=5)
     # Middlebury flagship geometry (example_stereo.py at downscale 0.5).
     run_config(
         "middlebury_1482x994_144d", configs,

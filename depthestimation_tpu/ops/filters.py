@@ -147,11 +147,15 @@ def filter_speckles(
     truncated count is still a proof: a tree deeper than S levels has at
     least S+1 nodes within S levels, so (truncated count <= S) holds iff
     the true size is <= S. Under-converged large components (several
-    label fragments) are protected by label PURITY: a connectivity edge
-    joining two different labels flags both sides, and the flag is
-    OR-propagated S steps — any fragment small enough to be miscounted
-    (<= S pixels) has its root within S-1 steps of such an edge. Impure
-    roots never remove (cv2 keeps all big components).
+    label fragments) are protected by label PURITY, encoded as count
+    POISON: a connectivity edge joining two different labels exists only
+    inside an under-converged (hence > S pixel) component, and both its
+    endpoints seed the convergecast with S+2 instead of 1. A fragment
+    root with truncated count <= S has its ENTIRE fragment inside the
+    truncated tree (any pixel deeper than S forces count > S), and every
+    fragment of a multi-label component borders a disagreeing edge — so
+    its poisoned seed is counted and the root never removes (cv2 keeps
+    all big components). No separate impurity flood is needed.
     """
     d = disparity.astype(jnp.float32)
     h, w = d.shape
@@ -195,28 +199,29 @@ def filter_speckles(
     idx_map = jnp.arange(n, dtype=jnp.float32).reshape(h, w)
 
     # Same-label connectivity: component edges whose endpoints agree on the
-    # converged label; a disagreeing edge marks both endpoints impure.
+    # converged label; a disagreeing edge poisons both endpoints' seeds.
     conn = []
-    impure = jnp.zeros((h, w), dtype=jnp.bool_)
+    poison = jnp.zeros((h, w), dtype=jnp.bool_)
     for (dy, dx), s in zip(dirs, same):
         agree = nb(labels, dy, dx, big) == labels
         conn.append(s & agree)
-        impure = impure | (s & ~agree)
+        poison = poison | (s & ~agree)
 
     rounds = s_max // local_steps + 2
     inf = jnp.float32(n + 8)
-    dist = jnp.where(valid & (labels == idx_map), 0.0, inf)
+    dist0 = jnp.where(valid & (labels == idx_map), 0.0, inf)
 
-    def relax_body(_, state):
-        dist, imp = state
+    def relax_body(_, dist):
         for _ in range(local_steps):
+            best = inf
             for k, (dy, dx) in enumerate(dirs):
-                nd = nb(dist, dy, dx, inf)
-                dist = jnp.minimum(dist, jnp.where(conn[k], nd + 1.0, inf))
-                imp = imp | (same[k] & nb(imp, dy, dx, False))
-        return dist, imp
+                best = jnp.minimum(
+                    best, jnp.where(conn[k], nb(dist, dy, dx, inf), inf)
+                )
+            dist = jnp.minimum(dist, best + 1.0)
+        return dist
 
-    dist, impure = jax.lax.fori_loop(0, rounds, relax_body, (dist, impure))
+    dist = jax.lax.fori_loop(0, rounds, relax_body, dist0)
 
     # Parent pointers: first direction whose same-label neighbor sits one
     # BFS level closer to the root (fixed N,S,W,E tie-break). Children =
@@ -232,20 +237,21 @@ def filter_speckles(
         for k, (dy, dx) in enumerate(dirs)
     ]
 
+    seed = jnp.where(poison, jnp.float32(s_max + 2), 1.0)
+
     def cc_body(_, c):
         for _ in range(local_steps):
-            total = jnp.ones_like(c)
+            total = seed
             for k, (dy, dx) in enumerate(dirs):
                 total = total + jnp.where(child[k], nb(c, dy, dx, 0.0), 0.0)
             c = total
         return c
 
-    count = jax.lax.fori_loop(0, rounds, cc_body,
-                              jnp.ones((h, w), jnp.float32))
+    count = jax.lax.fori_loop(0, rounds, cc_body, seed)
 
     # Removability is decided at the root, then spread back through the
     # component along same-label edges.
-    rem = (dist == 0.0) & (count <= s_max) & ~impure
+    rem = (dist == 0.0) & (count <= s_max)
 
     def spread_body(_, r):
         for _ in range(local_steps):

@@ -107,28 +107,46 @@ def wta_disparity(
     disparity map is sliced.
     """
     if not jnp.issubdtype(s.dtype, jnp.integer):
-        s = jnp.round(s)
-    s = s.astype(jnp.int32)
+        s = jnp.round(s).astype(jnp.int32)
     lanes = s.shape[-1]
     num_d = lanes if num_disp is None else num_disp
     d_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    # Volume reductions stay in S's storage dtype (int16 for most configs:
+    # a half-GB volume at 1080p); the old int32 upcast materialized a 1 GB
+    # copy and every reduce paid double HBM traffic. The pad/mask sentinel
+    # must outrank every real cost: int16 configs bound real costs to
+    # <= 32600 (pallas_sgm._acc_dtype), so int16 max works.
+    sent = jnp.asarray(
+        jnp.iinfo(s.dtype).max if s.dtype == jnp.int16 else _BIG, s.dtype
+    )
     if num_d < lanes:
         # Pad lanes can undercut the *competitor* reductions even though
         # they never win the argmin; mask them from every reduce.
-        s = jnp.where(d_idx < num_d, s, _BIG)
+        s = jnp.where(d_idx < num_d, s, sent)
 
-    # min + argmin in one fused variadic reduce; argmin's first-index
-    # tie-break IS OpenCV's smallest-d rule.
-    min_s = jnp.min(s, axis=-1)
-    d0 = jnp.argmin(s, axis=-1).astype(jnp.int32)
+    # min + argmin in ONE packed-key pass: key = cost << shift | d orders
+    # lexicographically by (cost, d), so the min's tie-break among equal
+    # costs is smallest d — exactly argmin's first-index / OpenCV's rule.
+    # The int16 -> int32 widening happens elementwise inside the reduce
+    # fusion; no widened volume is ever materialized.
+    shift = max(8, (lanes - 1).bit_length())
+    pmin = jnp.min(s.astype(jnp.int32) * (1 << shift) + d_idx, axis=-1)
+    min_s = pmin >> shift
+    d0 = pmin & ((1 << shift) - 1)
 
-    cm = jnp.min(jnp.where(d_idx == d0[..., None] - 1, s, _BIG), axis=-1)
-    cp = jnp.min(jnp.where(d_idx == d0[..., None] + 1, s, _BIG), axis=-1)
+    cm = jnp.min(
+        jnp.where(d_idx == d0[..., None] - 1, s, sent), axis=-1
+    ).astype(jnp.int32)
+    cp = jnp.min(
+        jnp.where(d_idx == d0[..., None] + 1, s, sent), axis=-1
+    ).astype(jnp.int32)
 
     invalid = jnp.zeros(d0.shape, dtype=bool)
     if uniqueness_ratio > 0:
         near = jnp.abs(d_idx - d0[..., None]) <= 1
-        competitor = jnp.min(jnp.where(near, _BIG, s), axis=-1)
+        competitor = jnp.min(jnp.where(near, sent, s), axis=-1).astype(
+            jnp.int32
+        )
         invalid = competitor * (100 - uniqueness_ratio) < min_s * 100
 
     if disp12_max_diff >= 0:

@@ -105,10 +105,11 @@ def main():
     # The reference-default pipeline adds the in-matcher speckle pass
     # (S=50, stereo_core.py:72-73) plus postprocess_disparity
     # (S=100*downscale, postprocess.py:143-169). Both speckle passes are
-    # VPU-bound: ~(4 phases * (S/unroll+2) rounds * ~43 vector ops)/step
-    # puts the S=100 pass at ~9.3 G elem-ops = ~9.7 ms at v5e VPU peak —
-    # within 5% of measured, i.e. the algorithm, not the implementation,
-    # is the wall.
+    # VPU-bound: ~(4 phases * (S/unroll+2) rounds * ~35 vector ops)/step
+    # (round 5 dropped the impurity flood — disagree edges poison the
+    # count seeds instead — and hoisted the +1 out of the BFS relax);
+    # the algorithm's S-step round count, not the implementation, is the
+    # wall.
     print("\n-- postprocess stages (on the cropped disparity map) --")
     from depthestimation_tpu.ops import filters
 
