@@ -48,7 +48,9 @@ def compute_frame_metrics(disparity, depth=None, frame_index=0,
         disp_mean=float(d[valid].mean()) if valid.any() else 0.0,
     )
     if depth is not None:
-        z = np.asarray(depth)
+        # float16 depth (streaming depth_dtype='float16') overflows
+        # np.percentile's in-dtype lerp; stats run in float32.
+        z = np.asarray(depth, dtype=np.float32)
         zvalid = np.isfinite(z) & (z > 0)
         m.depth_invalid_pct = float(100.0 * (~zvalid).mean())
         m.depth_p50_m = float(np.percentile(z[zvalid], 50)) if zvalid.any() else None
@@ -74,7 +76,9 @@ def frame_metrics_from_stats(stats, depth=None, frame_index=0,
         disp_mean=dmean,
     )
     if depth is not None:
-        z = np.asarray(depth)
+        # float16 depth (streaming depth_dtype='float16') overflows
+        # np.percentile's in-dtype lerp; stats run in float32.
+        z = np.asarray(depth, dtype=np.float32)
         zvalid = np.isfinite(z) & (z > 0)
         m.depth_invalid_pct = float(100.0 * (~zvalid).mean())
         m.depth_p50_m = float(np.percentile(z[zvalid], 50)) if zvalid.any() else None
